@@ -1,0 +1,177 @@
+"""Oracle rasterizer behavior + tiled-vs-oracle equivalence (fwd and VJP).
+
+This is the framework's version of the reference's CUDA-vs-python-twin test
+pattern (SURVEY.md §4): every production rasterizer path must agree with the
+dense jnp oracle in outputs and in gradients w.r.t. every input.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from texgs.core.state import init_from_pcd
+from texgs.data.synthetic import blob_point_cloud, orbit_cameras
+from texgs.kernels import project as proj_k
+from texgs.kernels.reference import rasterize_reference
+from texgs.kernels.tile_raster import rasterize_tiled
+from texgs.render import render
+
+
+def _make_scene(n=512, w=64, h=64, seed=0):
+    pcd = blob_point_cloud(n, seed=seed)
+    state = init_from_pcd(pcd.points, pcd.colors, max_sh_degree=2)
+    cams = orbit_cameras(2, radius=3.5, width=w, height=h)
+    return state, cams
+
+
+def _project(state, cam, ndc_offset=None):
+    colors = proj_k.sh_colors(state.get_features(), state.xyz,
+                              cam.camera_center, 0)
+    return proj_k.project_gaussians(
+        state.xyz, state.get_scaling(), state.get_rotation(),
+        state.get_opacity(), colors, cam.world_view, cam.full_proj,
+        cam.camera_center, cam.width, cam.height, cam.tanfovx, cam.tanfovy,
+        ndc_offset=ndc_offset)
+
+
+def test_oracle_renders_something():
+    state, cams = _make_scene()
+    cam = cams[0]
+    out = rasterize_reference(_project(state, cam), cam.height, cam.width,
+                              jnp.zeros(3))
+    img = np.asarray(out.image)
+    assert img.shape == (3, 64, 64)
+    assert img.max() > 0.05          # object visible
+    alpha = np.asarray(out.alpha)
+    assert alpha.min() >= 0 and alpha.max() <= 1 + 1e-5
+    # center of image covered by the blob, corners empty
+    assert alpha[0, 32, 32] > 0.5
+    assert alpha[0, 0, 0] < 1e-3
+    # blended depth near the camera distance minus blob radius
+    d = float(out.depth[0, 32, 32])
+    assert 1.5 < d < 3.6
+    # normals unit-ish where alpha saturated
+    n_len = np.linalg.norm(np.asarray(out.norm)[:, 32, 32])
+    assert 0.5 < n_len < 1.2
+
+
+def test_oracle_background_composited():
+    state, cams = _make_scene()
+    cam = cams[0]
+    bg = jnp.array([1.0, 0.0, 0.0])
+    out = rasterize_reference(_project(state, cam), cam.height, cam.width, bg)
+    img = np.asarray(out.image)
+    assert np.allclose(img[:, 0, 0], [1.0, 0.0, 0.0], atol=1e-3)
+
+
+@pytest.mark.parametrize("chunk", [64, 128])
+def test_tiled_scan_matches_oracle(chunk):
+    state, cams = _make_scene(n=512)
+    for cam in cams:
+        proj = _project(state, cam)
+        ref = rasterize_reference(proj, cam.height, cam.width, jnp.zeros(3))
+        tiled = rasterize_tiled(proj, cam.height, cam.width, jnp.zeros(3),
+                                chunk=chunk, backend="scan")
+        np.testing.assert_allclose(np.asarray(tiled.image),
+                                   np.asarray(ref.image), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(tiled.alpha),
+                                   np.asarray(ref.alpha), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(tiled.depth),
+                                   np.asarray(ref.depth), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(tiled.norm),
+                                   np.asarray(ref.norm), atol=2e-5)
+
+
+def test_tiled_scan_grads_match_oracle():
+    state, cams = _make_scene(n=256)
+    cam = cams[0]
+    target = jnp.zeros((3, cam.height, cam.width))
+
+    def loss_with(backend):
+        def f(xyz, scaling_raw, rotation, opacity_raw, fdc):
+            st = state.replace(xyz=xyz, scaling=scaling_raw,
+                               rotation=rotation, opacity=opacity_raw,
+                               features_dc=fdc)
+            proj = _project(st, cam)
+            if backend == "reference":
+                out = rasterize_reference(proj, cam.height, cam.width,
+                                          jnp.zeros(3))
+            else:
+                out = rasterize_tiled(proj, cam.height, cam.width,
+                                      jnp.zeros(3), chunk=64, backend="scan")
+            return (jnp.abs(out.image - target).mean()
+                    + out.alpha.mean() + out.depth.mean() * 1e-2
+                    + out.norm.mean() * 1e-2)
+        return f
+
+    args = (state.xyz, state.scaling, state.rotation, state.opacity,
+            state.features_dc)
+    g_ref = jax.grad(loss_with("reference"), argnums=(0, 1, 2, 3, 4))(*args)
+    g_tile = jax.grad(loss_with("scan"), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b, name in zip(g_ref, g_tile,
+                          ["xyz", "scaling", "rotation", "opacity", "f_dc"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_ndc_offset_gradient_nonzero():
+    state, cams = _make_scene(n=256)
+    cam = cams[0]
+
+    def f(ndc_offset):
+        proj = _project(state, cam, ndc_offset=ndc_offset)
+        out = rasterize_reference(proj, cam.height, cam.width, jnp.zeros(3))
+        return jnp.abs(out.image - 0.1).mean()
+
+    g = jax.grad(f)(jnp.zeros((state.capacity, 2)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_render_api_and_override_color():
+    state, cams = _make_scene(n=256)
+    cam = cams[0]
+    out = render(cam, xyz=state.xyz, opacity=state.get_opacity(),
+                 scaling=state.get_scaling(), rotation=state.get_rotation(),
+                 features=state.get_features(), active_sh_degree=0,
+                 bg_color=jnp.zeros(3))
+    assert set(out) >= {"render", "depth", "norm", "alpha", "radii",
+                        "visibility_filter"}
+    override = jnp.ones((state.capacity, 3)) * jnp.array([0.0, 1.0, 0.0])
+    out2 = render(cam, xyz=state.xyz, opacity=state.get_opacity(),
+                  scaling=state.get_scaling(), rotation=state.get_rotation(),
+                  override_color=override, bg_color=jnp.zeros(3))
+    img = np.asarray(out2["render"])
+    assert img[1].max() > 0.5 and img[0].max() < 1e-3
+
+
+def test_extra_attrs_blending():
+    state, cams = _make_scene(n=256)
+    cam = cams[0]
+    extra = jnp.ones((state.capacity, 2))
+    proj = _project(state, cam)
+    out = rasterize_reference(proj, cam.height, cam.width, jnp.zeros(3),
+                              extra_attrs=extra)
+    # blending weights sum to alpha, so extra == alpha per channel
+    np.testing.assert_allclose(np.asarray(out.extra[0:1]),
+                               np.asarray(out.alpha), atol=1e-5)
+    tiled = rasterize_tiled(proj, cam.height, cam.width, jnp.zeros(3),
+                            extra_attrs=extra, chunk=64)
+    np.testing.assert_allclose(np.asarray(tiled.extra), np.asarray(out.extra),
+                               atol=2e-5)
+
+
+def test_padded_capacity_invariance():
+    # rendering must be identical when dead padded slots exist
+    pcd = blob_point_cloud(300, seed=1)
+    s1 = init_from_pcd(pcd.points, pcd.colors, 2)
+    s2 = init_from_pcd(pcd.points, pcd.colors, 2, capacity=512)
+    cam = orbit_cameras(1, radius=3.5, width=48, height=48)[0]
+    o1 = rasterize_reference(_project(s1, cam), 48, 48, jnp.zeros(3))
+    o2 = rasterize_reference(_project(s2, cam), 48, 48, jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(o1.image), np.asarray(o2.image),
+                               atol=1e-6)
+    t2 = rasterize_tiled(_project(s2, cam), 48, 48, jnp.zeros(3), chunk=64)
+    np.testing.assert_allclose(np.asarray(t2.image), np.asarray(o1.image),
+                               atol=2e-5)

@@ -1,0 +1,23 @@
+"""texgs — a TPU-native Texture-GS framework (JAX / XLA / Pallas / pjit).
+
+Brand-new implementation of the capabilities of slothfulxtx/Texture-GS
+(ECCV 2024, arXiv 2403.10050): differentiable 3D Gaussian splatting with
+appearance disentangled into a UV-mapped cubemap texture.  The compute path
+is pure JAX with Pallas TPU kernels for the hot rasterization ops; training
+scales over device meshes with jax.sharding/shard_map.
+
+Layers (bottom-up), mirroring the capability map in SURVEY.md §1-2:
+  kernels/  projection, tile binning, tile rasterizer (+ custom VJPs),
+            UV-texture rasterizer, cubemap sampling, knn / chamfer / fps
+  nets/     hash-grid encoding + MLPs (UVNet / InvUVNet)
+  render/   render() and uv_tex_render() functional entry points
+  losses/   l1 / ssim / smooth / normal / zero-one regularizers
+  data/     COLMAP / Blender / NeILF scene readers + synthetic test scenes
+  train/    three-stage trainers (geometry, UV map, texture), optimizers,
+            densification
+  dist/     mesh + sharding setup for multi-chip execution
+  io/       checkpointing (explicit schema), PLY / texture image IO
+  tools/    extract_pcd / extract_texture / retexture / viewer
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,226 @@
+"""Tiled rasterizer: chunk-structured alpha compositing on the MXU.
+
+Production counterpart of the oracle in texgs.kernels.reference, replacing
+the CUDA per-tile splatting loop (`diff_gauss`, SURVEY.md §2.2) with a
+TPU-first formulation:
+
+* The Gaussian log-density at a pixel is a quadratic in the pixel
+  coordinates, so for a 16x16 tile the (256 pixels x K Gaussians) exponent
+  matrix is one matmul ``basis(256, 6) @ quad_coeffs(6, K)`` — it rides the
+  MXU instead of a scalar per-pixel loop.  Pixel coordinates are
+  *tile-local* so the quadratic is well-conditioned in f32.
+* Blending weights come from an exclusive cumprod along the depth-sorted
+  chunk axis (log-depth doubling, VPU), with the CUDA sequential-stop
+  semantics reproduced exactly (see texgs.kernels.reference.blend_weights).
+* Output accumulation is again a matmul ``weights(256, K) @ attrs(K, F)``.
+
+The same chunk structure is executed two ways:
+  - `rasterize_scan`: a lax.scan over chunks — runs everywhere (CPU tests,
+    fallback), differentiable by construction;
+  - the Pallas kernel in texgs.kernels.pallas_raster — one program per
+    chunk, same math, custom VJP.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from texgs.kernels.binning import PairList, build_pairs, grid_shape
+from texgs.kernels.project import ProjectedGaussians
+from texgs.kernels.reference import (ALPHA_CLAMP, MIN_ALPHA, T_STOP, TILE,
+                                     RasterOutput)
+
+# Attribute-row layout of the packed pair matrix (A, n_pairs).
+#   rows 0..5: quadratic exponent coefficients in tile-local pixel coords
+#              [x^2, y^2, x*y, x, y, 1] (log-opacity folded into the
+#              constant term)
+#   row 6:     log-opacity (to recover the raw exponent for the power>0 skip)
+#   rows 7..9: rgb; row 10: view depth; rows 11..13: world normal
+#   rows 14..: optional extra attribute channels
+N_QUAD = 6
+ROW_LOGOP = 6
+ROW_F0 = 7
+N_FIXED_F = 7  # rgb(3) + depth(1) + normal(3)
+PIX = TILE * TILE  # pixels per tile
+NEG_INF = -1e20
+
+
+def tile_basis(dtype=jnp.float32) -> jnp.ndarray:
+    """(PIX, 6) polynomial basis of tile-local pixel coords."""
+    idx = jnp.arange(PIX)
+    x = (idx % TILE).astype(dtype)
+    y = (idx // TILE).astype(dtype)
+    one = jnp.ones_like(x)
+    return jnp.stack([x * x, y * y, x * y, x, y, one], axis=-1)
+
+
+def build_pair_attrs(proj: ProjectedGaussians, pairs: PairList,
+                     height: int, width: int,
+                     extra_attrs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Gather + pack per-pair attributes.  Differentiable in proj/extra.
+
+    Returns (A, padded_cap) f32 with A = 14 + n_extra.  Invalid pair slots
+    get a -inf constant term (=> alpha 0, no blending effect).
+    """
+    gy, gx = grid_shape(height, width)
+    g = jnp.clip(pairs.pair_gauss, 0, proj.means2d.shape[0] - 1)
+    t = jnp.clip(pairs.pair_tile, 0, gy * gx - 1)
+    valid = pairs.pair_valid & (pairs.pair_gauss >= 0)
+
+    tile_x = (t % gx).astype(jnp.float32) * TILE
+    tile_y = (t // gx).astype(jnp.float32) * TILE
+
+    mx = proj.means2d[g, 0] - tile_x
+    my = proj.means2d[g, 1] - tile_y
+    con = proj.conics[g]
+    a, b, c = con[:, 0], con[:, 1], con[:, 2]
+    op = jnp.maximum(proj.opacities[g], 1e-12)
+    logop = jnp.log(op)
+
+    qxx = -0.5 * a
+    qyy = -0.5 * c
+    qxy = -b
+    qx = a * mx + b * my
+    qy = c * my + b * mx
+    qc = -0.5 * (a * mx * mx + c * my * my) - b * mx * my + logop
+    qc = jnp.where(valid, qc, NEG_INF)
+
+    rows = [qxx, qyy, qxy, qx, qy, qc, logop,
+            proj.colors[g, 0], proj.colors[g, 1], proj.colors[g, 2],
+            proj.depths[g],
+            proj.normals[g, 0], proj.normals[g, 1], proj.normals[g, 2]]
+    if extra_attrs is not None:
+        for e in range(extra_attrs.shape[1]):
+            rows.append(extra_attrs[g, e])
+    return jnp.stack(rows, axis=0)
+
+
+def _exclusive_cumprod(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive cumprod along the last axis."""
+    return jnp.concatenate(
+        [jnp.ones_like(x[..., :1]), jnp.cumprod(x[..., :-1], axis=-1)], axis=-1)
+
+
+def chunk_blend(power: jnp.ndarray, logop: jnp.ndarray, f_attrs: jnp.ndarray,
+                t_in: jnp.ndarray, done_in: jnp.ndarray):
+    """Blend one chunk of Gaussians into one tile.
+
+    Args:
+      power: (PIX, K) exponent incl. log-opacity.
+      logop: (K,) log-opacities.
+      f_attrs: (K, F) blendable attributes.
+      t_in: (PIX,) incoming transmittance; done_in: (PIX,) bool stop flags.
+    Returns:
+      (out (PIX, F), t_out (PIX,), done_out (PIX,))
+    """
+    alpha = jnp.exp(power)
+    alpha = jnp.minimum(alpha, ALPHA_CLAMP)
+    # CUDA-parity skips: raw exponent > 0, or alpha below threshold.
+    alpha = jnp.where(power - logop[None, :] > 0.0, 0.0, alpha)
+    alpha = jnp.where(alpha < MIN_ALPHA, 0.0, alpha)
+
+    one_minus = 1.0 - alpha
+    t_excl = t_in[:, None] * _exclusive_cumprod(one_minus)
+    fail = t_excl * one_minus < T_STOP
+    done = done_in[:, None] | (jnp.cumsum(fail.astype(jnp.int32), axis=-1) > 0)
+    w = alpha * t_excl * (~done)
+
+    out = w @ f_attrs
+    t_out = t_in * jnp.prod(jnp.where(done, 1.0, one_minus), axis=-1)
+    return out, t_out, done[:, -1]
+
+
+def rasterize_scan(attrs: jnp.ndarray, pairs: PairList, height: int,
+                   width: int, chunk: int):
+    """lax.scan over chunks; returns (tiles_out (T, PIX, F), t_final (T, PIX)).
+
+    F = n attribute channels (rgb, depth, normal, extras).
+    """
+    gy, gx = grid_shape(height, width)
+    n_tiles = gy * gx
+    n_chunks = pairs.n_chunks
+    n_f = attrs.shape[0] - ROW_F0
+    basis = tile_basis(attrs.dtype)
+
+    tiles_out0 = jnp.zeros((n_tiles, PIX, n_f), attrs.dtype)
+    t_final0 = jnp.ones((n_tiles, PIX), attrs.dtype)
+
+    def step(carry, c_idx):
+        tiles_out, t_final, t_buf, done = carry
+        tile = pairs.chunk_tile[c_idx]
+        first = pairs.chunk_first[c_idx]
+        live = tile >= 0
+        tile_ix = jnp.clip(tile, 0, n_tiles - 1)
+
+        t_buf = jnp.where(first, 1.0, t_buf)
+        done = jnp.where(first, False, done)
+
+        a_chunk = jax.lax.dynamic_slice(
+            attrs, (0, c_idx * chunk), (attrs.shape[0], chunk))
+        power = basis @ a_chunk[:N_QUAD]          # (PIX, K)
+        logop = a_chunk[ROW_LOGOP]
+        f_attrs = a_chunk[ROW_F0:].T               # (K, F)
+
+        out, t_out, done_out = chunk_blend(power, logop, f_attrs, t_buf, done)
+        out = jnp.where(live, out, 0.0)
+        tiles_out = tiles_out.at[tile_ix].add(out)
+        t_final = t_final.at[tile_ix].set(jnp.where(live, t_out, t_final[tile_ix]))
+        return (tiles_out, t_final, t_out, done_out), None
+
+    t_buf0 = jnp.ones((PIX,), attrs.dtype)
+    done0 = jnp.zeros((PIX,), bool)
+    (tiles_out, t_final, _, _), _ = jax.lax.scan(
+        step, (tiles_out0, t_final0, t_buf0, done0),
+        jnp.arange(n_chunks, dtype=jnp.int32))
+    return tiles_out, t_final
+
+
+def assemble_image(tiles_out: jnp.ndarray, t_final: jnp.ndarray, height: int,
+                   width: int, bg: jnp.ndarray, n_extra: int,
+                   normalize_depth: bool = True) -> RasterOutput:
+    """(T, PIX, F) tile buffers -> full-image RasterOutput."""
+    gy, gx = grid_shape(height, width)
+    n_f = tiles_out.shape[-1]
+    img = tiles_out.reshape(gy, gx, TILE, TILE, n_f)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(n_f, gy * TILE, gx * TILE)
+    img = img[:, :height, :width]
+    t_fin = t_final.reshape(gy, gx, TILE, TILE)
+    t_fin = t_fin.transpose(0, 2, 1, 3).reshape(gy * TILE, gx * TILE)
+    t_fin = t_fin[:height, :width][None]
+
+    acc = 1.0 - t_fin
+    rgb = img[0:3] + t_fin * bg[:, None, None]
+    dep = img[3:4]
+    if normalize_depth:
+        dep = dep / jnp.maximum(acc, 1e-6)
+    nrm = img[4:7]
+    extra = img[7:7 + n_extra] if n_extra else None
+    return RasterOutput(image=rgb, depth=dep, norm=nrm, alpha=acc, extra=extra)
+
+
+def rasterize_tiled(proj: ProjectedGaussians, height: int, width: int,
+                    bg: jnp.ndarray, extra_attrs: Optional[jnp.ndarray] = None,
+                    pair_cap: Optional[int] = None, chunk: int = 256,
+                    normalize_depth: bool = True,
+                    backend: str = "scan") -> RasterOutput:
+    """Tile-binned rasterization; `backend` is 'scan' or 'pallas'."""
+    n = proj.means2d.shape[0]
+    if pair_cap is None:
+        pair_cap = max(4 * n, 1 << 14)
+    pair_cap = -(-pair_cap // chunk) * chunk
+
+    pairs = build_pairs(proj.means2d, proj.depths, proj.radii, height, width,
+                        pair_cap, chunk)
+    attrs = build_pair_attrs(proj, pairs, height, width, extra_attrs)
+    n_extra = 0 if extra_attrs is None else extra_attrs.shape[1]
+
+    if backend == "pallas":
+        from texgs.kernels.pallas_raster import rasterize_pallas
+        tiles_out, t_final = rasterize_pallas(attrs, pairs, height, width, chunk)
+    else:
+        tiles_out, t_final = rasterize_scan(attrs, pairs, height, width, chunk)
+    return assemble_image(tiles_out, t_final, height, width, bg, n_extra,
+                          normalize_depth)
