@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Headline benchmark: fwd+bwd rasterization throughput (rays/s) per chip.
+
+Measures one full differentiable render step — SH eval, EWA projection,
+tile binning, alpha-composited forward, and gradients w.r.t. every Gaussian
+parameter — at production shapes (100k Gaussians, 800x600), i.e. the hot
+loop of stage-1 training (SURVEY.md §3.1).
+
+Baseline (vs_baseline denominator): the reference CUDA implementation
+trains 3DGS-class models at ~12 it/s at 800x600 on the RTX 2080 Ti cited
+in its README (qualitative "real-time" claim; no numeric tables exist —
+BASELINE.md), i.e. ~5.8M rays/s fwd+bwd.  BASELINE.json's target is >=2x
+that per chip (vs_baseline >= 2.0).
+
+Prints exactly one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
+
+N_GAUSS = int(os.environ.get("BENCH_N", 100_000))
+WIDTH = int(os.environ.get("BENCH_W", 800))
+HEIGHT = int(os.environ.get("BENCH_H", 600))
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
+BACKEND = os.environ.get("BENCH_BACKEND", "")  # default: best available
+BASELINE_RAYS_PER_S = 12.0 * 800 * 600  # ~5.8e6, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from texgs.core.state import init_from_pcd
+    from texgs.data.synthetic import blob_point_cloud, orbit_cameras
+    from texgs.render import render
+
+    backend = BACKEND or ("pallas" if jax.default_backend() == "tpu" else "scan")
+    try:
+        if backend == "pallas":
+            from texgs.kernels import pallas_raster  # noqa: F401
+    except ImportError:
+        backend = "scan"
+
+    pcd = blob_point_cloud(N_GAUSS, seed=0)
+    state = init_from_pcd(pcd.points, pcd.colors, max_sh_degree=3)
+    cam = orbit_cameras(1, radius=3.5, width=WIDTH, height=HEIGHT)[0]
+    target = jnp.zeros((3, HEIGHT, WIDTH))
+
+    @jax.jit
+    def step(params):
+        def loss_fn(p):
+            out = render(cam, xyz=p["xyz"],
+                         opacity=jax.nn.sigmoid(p["opacity"]),
+                         scaling=jnp.exp(p["scaling"]),
+                         rotation=p["rotation"] / (jnp.linalg.norm(
+                             p["rotation"], axis=-1, keepdims=True) + 1e-12),
+                         features=jnp.concatenate([p["f_dc"], p["f_rest"]], 1),
+                         active_sh_degree=3, bg_color=jnp.zeros(3),
+                         backend=backend)
+            return (jnp.abs(out["render"] - target).mean()
+                    + out["alpha"].mean() * 0.1)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss, grads
+
+    params = state.params_dict()
+
+    # compile + warmup
+    loss, grads = step(params)
+    jax.block_until_ready(grads)
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        loss, grads = step(params)
+    jax.block_until_ready(grads)
+    dt = time.time() - t0
+
+    rays_per_s = ITERS * WIDTH * HEIGHT / dt
+    print(json.dumps({
+        "metric": f"rays_per_s_fwd_bwd_{backend}",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

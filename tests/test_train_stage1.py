@@ -1,0 +1,79 @@
+"""End-to-end stage-1 training smoke test on the synthetic scene.
+
+The framework-level analogue of the reference's debug-mode training runs
+(SURVEY.md §4): deterministic tiny scene, few hundred iterations, PSNR must
+improve substantially and densification must fire.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from texgs.config import load_config
+from texgs.train.driver import train
+from texgs.utils.logger import get_logger
+
+CFG_PATH = os.path.join(os.path.dirname(__file__), "..",
+                        "configs", "synthetic_smoke.yaml")
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    cfg = load_config(CFG_PATH)
+    cfg.work_dir = str(tmp_path_factory.mktemp("smoke"))
+    cfg.debug = False
+    # keep the CPU test fast: one loss-flag configuration (single compile),
+    # capacity stays in the first bucket (no growth retraces)
+    cfg.train_cfg.num_iterations = 150
+    cfg.train_cfg.visual_iters = [150]
+    cfg.train_cfg.ckpt_iters = [150]
+    cfg.train_cfg.densify_from_iter = 20
+    cfg.train_cfg.densification_interval = 50
+    cfg.train_cfg.densify_until_iter = 120
+    cfg.loss_cfg.norm_range = [0, None]
+    cfg.loss_cfg.norm_smooth_range = [0, None]
+    cfg.loss_cfg.opacity_reg_range = [0, None]
+    cfg.dataset_cfg.data_root_dir = "synthetic://blob?n=512&views=6&size=48"
+    log = get_logger("texgs-test")
+    model, scene, final_eval = train(cfg, log, tb_writer=None, progress=False)
+    return cfg, model, scene, final_eval
+
+
+def test_psnr_improves(trained):
+    cfg, model, scene, final_eval = trained
+    assert final_eval is not None
+    assert final_eval["test"]["psnr"] > 16.0, final_eval
+    assert final_eval["train"]["psnr"] > 16.0, final_eval
+
+
+def test_densification_happened(trained):
+    cfg, model, scene, _ = trained
+    # started from a 1024-point init cloud
+    assert model.n_points != 512 or model.state.capacity >= 2048
+    assert model.n_points > 0
+    assert np.isfinite(np.asarray(model.state.xyz)).all()
+
+
+def test_checkpoint_roundtrip(trained):
+    cfg, model, scene, final_eval = trained
+    from texgs.io import checkpoint as ckpt
+    from texgs.train.gaussian3d import Gaussian3D
+
+    path = os.path.join(cfg.work_dir, "checkpoints", "150")
+    sd, iteration = ckpt.load(path)
+    assert iteration == 150
+
+    log = get_logger("texgs-test")
+    model2 = Gaussian3D(cfg.model_cfg, log, cfg.work_dir)
+    model2.bind_train_cfg(cfg.train_cfg, cfg.dataset_cfg.background)
+    model2.load_state_dict(sd, cfg.optim_cfg)
+    assert model2.n_points == model.n_points
+    np.testing.assert_allclose(np.asarray(model2.state.xyz),
+                               np.asarray(model.state.xyz))
+    # resumed model renders identically
+    vp = scene.getTestCameras()[0]
+    out1 = model.visual_step(150, 150, vp, None)
+    out2 = model2.visual_step(150, 150, vp, None)
+    np.testing.assert_allclose(np.asarray(out1["image"]),
+                               np.asarray(out2["image"]), atol=1e-6)

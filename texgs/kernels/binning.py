@@ -2,19 +2,27 @@
 
 TPU-native replacement for the CUDA rasterizer's duplicate-with-keys + radix
 sort + tile-range stage (the `diff_gauss` internals summarized in SURVEY.md
-§2.2).  Instead of per-tile GPU linked work queues we build, entirely with
-jnp sorts/gathers under static shapes:
+§2.2).  Instead of per-tile GPU work queues we build, entirely with jnp
+sorts/gathers under static shapes:
 
   1. pair expansion  — every visible Gaussian emits one pair per covered
      16x16 tile (tile_rect, identical rule to the oracle), into a static
      ``pair_cap`` buffer;
-  2. (tile, depth) order — two stable argsorts (by depth, then by tile)
-     give the same ordering as the CUDA 64-bit key radix sort;
+  2. (tile, depth) order — Gaussians are depth-ranked once (small sort);
+     pairs then sort by a single int32 key ``tile * N + depth_rank`` when it
+     fits (exactly equivalent to the CUDA 64-bit radix key), falling back to
+     two stable argsorts otherwise;
   3. chunk alignment — each tile's pair run is padded to a multiple of
      ``chunk`` so the rasterizer can run a flat grid over fixed-size chunks
      (one Pallas program per chunk, tiles never straddle mid-chunk);
   4. per-chunk metadata — chunk -> tile id and first-chunk-of-tile flags,
      consumed as scalar-prefetch arrays by the Pallas kernel.
+
+Performance notes (TPU v5e measurements): XLA sorts are cheap (~4ms/400k)
+but per-element *gathers* and many-query searchsorted are not — so all
+per-pair lookups are packed into row-gathers of small tables, slot->interval
+mapping is a scatter+cumsum instead of binary search, and the padded-layout
+indirection is a single gather of a per-tile shift table.
 
 Everything here is integer bookkeeping on stop-gradient inputs; gradients
 flow through the separately-gathered pair *attributes*, not the indices.
@@ -55,6 +63,17 @@ def padded_cap(pair_cap: int, height: int, width: int, chunk: int) -> int:
     return -(-cap // chunk) * chunk
 
 
+def _interval_index(starts: jnp.ndarray, n_slots: int) -> jnp.ndarray:
+    """For consecutive integer slots 0..n_slots-1 and a sorted array of
+    interval start offsets, return per-slot the index of the last interval
+    with start <= slot (== searchsorted(starts, slot, 'right') - 1, but via
+    scatter + cumsum, which is far cheaper than per-query binary search)."""
+    marks = jnp.zeros((n_slots,), jnp.int32).at[
+        jnp.clip(starts, 0, n_slots - 1)].add(
+            jnp.where(starts < n_slots, 1, 0).astype(jnp.int32))
+    return jnp.cumsum(marks) - 1
+
+
 def build_pairs(means2d: jnp.ndarray, depths: jnp.ndarray, radii: jnp.ndarray,
                 height: int, width: int, pair_cap: int, chunk: int) -> PairList:
     """Build the sorted, chunk-aligned pair list.
@@ -66,35 +85,54 @@ def build_pairs(means2d: jnp.ndarray, depths: jnp.ndarray, radii: jnp.ndarray,
     means2d = jax.lax.stop_gradient(means2d)
     depths = jax.lax.stop_gradient(depths)
 
+    n = means2d.shape[0]
     gy, gx = grid_shape(height, width)
     n_tiles = gy * gx
 
     xmin, xmax, ymin, ymax = tile_rect(means2d, radii, width, height)
     visible = radii > 0
-    rect_w = (xmax - xmin)
+    rect_w = xmax - xmin
     ntiles_per_g = jnp.where(visible, rect_w * (ymax - ymin), 0)
 
     offs = jnp.cumsum(ntiles_per_g) - ntiles_per_g  # exclusive prefix sum
     total = offs[-1] + ntiles_per_g[-1]
 
+    # Depth rank per gaussian (dead ones rank last).  One small sort.
+    depth_key = jnp.where(visible, depths, jnp.inf)
+    order_g = jnp.argsort(depth_key)
+    rank = jnp.zeros((n,), jnp.int32).at[order_g].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+    # Packed per-gaussian lookup table for the expansion row-gather.
+    g_table = jnp.stack([offs, xmin, ymin, jnp.maximum(rect_w, 1), rank],
+                        axis=1)  # (N, 5) int32
+
+    # slot -> gaussian: last g with offs[g] <= slot (scatter + cumsum).
     slots = jnp.arange(pair_cap, dtype=jnp.int32)
-    g = jnp.searchsorted(offs, slots, side="right").astype(jnp.int32) - 1
-    g = jnp.clip(g, 0, means2d.shape[0] - 1)
-    local = slots - offs[g]
+    g = jnp.clip(_interval_index(offs, pair_cap), 0, n - 1)
+    rows = g_table[g]  # (pair_cap, 5) single row-gather
+    local = slots - rows[:, 0]
     valid = slots < total
-    w_g = jnp.maximum(rect_w[g], 1)
-    ty = ymin[g] + local // w_g
-    tx = xmin[g] + local % w_g
+    w_g = rows[:, 3]
+    ty = rows[:, 2] + local // w_g
+    tx = rows[:, 1] + local % w_g
     tile = jnp.where(valid, ty * gx + tx, n_tiles).astype(jnp.int32)
 
-    # (tile, depth) ordering via two stable sorts — equivalent to the CUDA
-    # (tileID << 32 | depth) radix sort.
-    depth_key = jnp.where(valid, depths[g], jnp.inf)
-    order_d = jnp.argsort(depth_key, stable=True)
-    order = order_d[jnp.argsort(tile[order_d], stable=True)]
+    # (tile, depth) ordering.  Within a tile, depth order with ties broken by
+    # gaussian index == depth-rank order, so a single int32 key sort is exact
+    # when tile * n fits; otherwise two stable sorts (same result).
+    if (n_tiles + 1) * n < 2 ** 31:
+        key = jnp.where(valid, tile * n + rows[:, 4], jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(key)
+    else:
+        dk = jnp.where(valid, depths[g], jnp.inf)
+        order_d = jnp.argsort(dk, stable=True)
+        order = order_d[jnp.argsort(tile[order_d], stable=True)]
 
-    sorted_tile = tile[order]
-    sorted_g = jnp.where(valid[order], g[order], -1)
+    pair_tg = jnp.stack([tile, jnp.where(valid, g, -1)], axis=1)
+    sorted_tg = pair_tg[order]  # (pair_cap, 2) row-gather
+    sorted_tile = sorted_tg[:, 0]
+    sorted_g = sorted_tg[:, 1]
 
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
@@ -106,12 +144,16 @@ def build_pairs(means2d: jnp.ndarray, depths: jnp.ndarray, radii: jnp.ndarray,
     padded_starts = jnp.cumsum(pc) - pc
     cap = padded_cap(pair_cap, height, width, chunk)
 
+    # Per-tile [shift, count] table: src = slot + shift[tile]; one gather.
+    t_table = jnp.stack([starts - padded_starts, counts, padded_starts],
+                        axis=1)  # (n_tiles, 3)
+
     pslots = jnp.arange(cap, dtype=jnp.int32)
-    pt = jnp.searchsorted(padded_starts, pslots, side="right").astype(jnp.int32) - 1
-    pt = jnp.clip(pt, 0, n_tiles - 1)
-    in_tile = pslots - padded_starts[pt]
-    pvalid = (in_tile < counts[pt]) & (pslots < padded_starts[-1] + pc[-1])
-    src = jnp.clip(starts[pt] + in_tile, 0, sorted_g.shape[0] - 1)
+    pt = jnp.clip(_interval_index(padded_starts, cap), 0, n_tiles - 1)
+    trows = t_table[pt]  # (cap, 3) row-gather
+    in_tile = pslots - trows[:, 2]
+    pvalid = in_tile < trows[:, 1]
+    src = jnp.clip(pslots + trows[:, 0], 0, pair_cap - 1)
     pair_gauss = jnp.where(pvalid, sorted_g[src], -1)
     pair_tile = jnp.where(pvalid, pt, n_tiles)
 

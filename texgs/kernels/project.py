@@ -143,7 +143,10 @@ def project_gaussians(xyz, scaling, rotation, opacity, colors,
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
 
-    visible = (depths > NEAR_CULL) & det_ok
+    # Also drop zero-opacity Gaussians (dead capacity-padding slots and
+    # fully-transparent splats contribute nothing; culling them here keeps
+    # them out of the tile pair lists).
+    visible = (depths > NEAR_CULL) & det_ok & (opacity.reshape(-1) > 0.0)
     radii = jnp.where(visible, radius, 0.0).astype(jnp.int32)
     op = jnp.where(visible, opacity.reshape(-1), 0.0)
 

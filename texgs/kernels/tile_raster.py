@@ -57,6 +57,44 @@ def tile_basis(dtype=jnp.float32) -> jnp.ndarray:
     return jnp.stack([x * x, y * y, x * y, x, y, one], axis=-1)
 
 
+def build_gauss_table(proj: ProjectedGaussians,
+                      extra_attrs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-Gaussian packed attribute table (N, 16 + n_extra), differentiable.
+
+    Quadratic exponent coefficients are expressed in coordinates relative to
+    each Gaussian's own anchor tile corner (columns 14/15), where they are
+    O(10) by construction (the exponent at the splat boundary is ~ -4.5), so
+    the per-pair shift to the covered tile's frame stays well-conditioned in
+    f32.  One row-gather of this table replaces 14 scalar gathers (~10x
+    cheaper on TPU).
+    """
+    mx, my = proj.means2d[:, 0], proj.means2d[:, 1]
+    a, b, c = proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2]
+    op = jnp.maximum(proj.opacities, 1e-12)
+    logop = jnp.log(op)
+
+    anchor_x = jnp.floor(mx / TILE) * TILE
+    anchor_y = jnp.floor(my / TILE) * TILE
+    mxa = mx - anchor_x
+    mya = my - anchor_y
+
+    qxx = -0.5 * a
+    qyy = -0.5 * c
+    qxy = -b
+    qx = a * mxa + b * mya
+    qy = c * mya + b * mxa
+    qc = -0.5 * (a * mxa * mxa + c * mya * mya) - b * mxa * mya + logop
+
+    cols = [qxx, qyy, qxy, qx, qy, qc, logop,
+            proj.colors[:, 0], proj.colors[:, 1], proj.colors[:, 2],
+            proj.depths,
+            proj.normals[:, 0], proj.normals[:, 1], proj.normals[:, 2],
+            anchor_x, anchor_y]
+    if extra_attrs is not None:
+        cols.extend(extra_attrs[:, e] for e in range(extra_attrs.shape[1]))
+    return jnp.stack(cols, axis=1)
+
+
 def build_pair_attrs(proj: ProjectedGaussians, pairs: PairList,
                      height: int, width: int,
                      extra_attrs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -70,32 +108,29 @@ def build_pair_attrs(proj: ProjectedGaussians, pairs: PairList,
     t = jnp.clip(pairs.pair_tile, 0, gy * gx - 1)
     valid = pairs.pair_valid & (pairs.pair_gauss >= 0)
 
+    table = build_gauss_table(proj, extra_attrs)
+    rows = table[g]  # (P, 16 + E) single row-gather
+
+    # shift the anchor-frame quadratic into the covered tile's local frame
     tile_x = (t % gx).astype(jnp.float32) * TILE
     tile_y = (t // gx).astype(jnp.float32) * TILE
+    dtx = tile_x - rows[:, 14]
+    dty = tile_y - rows[:, 15]
 
-    mx = proj.means2d[g, 0] - tile_x
-    my = proj.means2d[g, 1] - tile_y
-    con = proj.conics[g]
-    a, b, c = con[:, 0], con[:, 1], con[:, 2]
-    op = jnp.maximum(proj.opacities[g], 1e-12)
-    logop = jnp.log(op)
-
-    qxx = -0.5 * a
-    qyy = -0.5 * c
-    qxy = -b
-    qx = a * mx + b * my
-    qy = c * my + b * mx
-    qc = -0.5 * (a * mx * mx + c * my * my) - b * mx * my + logop
+    qxx, qyy, qxy = rows[:, 0], rows[:, 1], rows[:, 2]
+    qx_a, qy_a, qc_a = rows[:, 3], rows[:, 4], rows[:, 5]
+    qx = qx_a + 2.0 * qxx * dtx + qxy * dty
+    qy = qy_a + 2.0 * qyy * dty + qxy * dtx
+    qc = (qc_a + qxx * dtx * dtx + qyy * dty * dty + qxy * dtx * dty
+          + qx_a * dtx + qy_a * dty)
     qc = jnp.where(valid, qc, NEG_INF)
 
-    rows = [qxx, qyy, qxy, qx, qy, qc, logop,
-            proj.colors[g, 0], proj.colors[g, 1], proj.colors[g, 2],
-            proj.depths[g],
-            proj.normals[g, 0], proj.normals[g, 1], proj.normals[g, 2]]
-    if extra_attrs is not None:
-        for e in range(extra_attrs.shape[1]):
-            rows.append(extra_attrs[g, e])
-    return jnp.stack(rows, axis=0)
+    packed = jnp.concatenate([
+        jnp.stack([qxx, qyy, qxy, qx, qy, qc], axis=1),
+        rows[:, 6:14],
+        rows[:, 16:],
+    ], axis=1)  # (P, A)
+    return packed.T
 
 
 def _exclusive_cumprod(x: jnp.ndarray) -> jnp.ndarray:
@@ -203,7 +238,7 @@ def assemble_image(tiles_out: jnp.ndarray, t_final: jnp.ndarray, height: int,
 
 def rasterize_tiled(proj: ProjectedGaussians, height: int, width: int,
                     bg: jnp.ndarray, extra_attrs: Optional[jnp.ndarray] = None,
-                    pair_cap: Optional[int] = None, chunk: int = 256,
+                    pair_cap: Optional[int] = None, chunk: int = 128,
                     normalize_depth: bool = True,
                     backend: str = "scan") -> RasterOutput:
     """Tile-binned rasterization; `backend` is 'scan' or 'pallas'."""

@@ -34,7 +34,7 @@ def render(viewpoint_camera: Camera, *,
            cov3d_precomp: Optional[jnp.ndarray] = None,
            backend: str = "auto",
            pair_cap: Optional[int] = None,
-           chunk: int = 256,
+           chunk: int = 128,
            normalize_depth: bool = True) -> dict:
     """Render one view.
 
@@ -62,7 +62,11 @@ def render(viewpoint_camera: Camera, *,
         ndc_offset=ndc_offset)
 
     if backend == "auto":
-        backend = "reference" if xyz.shape[0] <= 4096 else "scan"
+        import jax
+        if jax.default_backend() == "tpu":
+            backend = "pallas"
+        else:
+            backend = "reference" if xyz.shape[0] <= 4096 else "scan"
 
     if backend == "reference":
         out = rasterize_reference(proj, cam.height, cam.width, bg_color,

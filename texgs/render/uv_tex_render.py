@@ -31,7 +31,7 @@ def uv_tex_render(viewpoint_camera: Camera, *,
                   ndc_offset: Optional[jnp.ndarray] = None,
                   backend: str = "auto",
                   pair_cap: Optional[int] = None,
-                  chunk: int = 256,
+                  chunk: int = 128,
                   normalize_depth: bool = True) -> dict:
     """Render one view with per-intersection UV-mapped cubemap appearance.
 

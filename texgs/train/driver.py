@@ -1,0 +1,175 @@
+"""Training driver: the per-iteration loop, validation, checkpointing.
+
+Functional mirror of /root/reference/train.py:20-186: random viewpoint
+order, EMA-loss progress reporting, periodic visualize() with L1/PSNR/SSIM
+on train+test cameras, point-cloud dumps and named-schema checkpoints, and
+TensorBoard scalars/images via tensorboardX when available.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from functools import partial
+
+import numpy as np
+
+from texgs.config import Cfg
+from texgs.io import checkpoint as ckpt
+from texgs.utils.metrics import psnr
+from texgs.losses import l1_loss, ssim_loss
+
+
+def _tb_writer(work_dir, debug):
+    if debug:
+        return None
+    try:
+        from tensorboardX import SummaryWriter
+        return SummaryWriter(work_dir)
+    except Exception:
+        return None
+
+
+def visualize(tb_writer, iteration, end_iteration, model, scene, log,
+              show_gt=False):
+    """Validation pass (parity: /root/reference/train.py:20-104)."""
+    import jax.numpy as jnp
+
+    train_cams = scene.getTrainCameras()
+    configs = (
+        {"name": "test", "cameras": scene.getTestCameras()},
+        {"name": "train",
+         "cameras": [train_cams[i % len(train_cams)] for i in range(5, 30, 5)]},
+    )
+    results = {}
+    for config in configs:
+        cams = config["cameras"]
+        if not cams:
+            continue
+        l1_t = psnr_t = ssim_t = 0.0
+        for idx, vp in enumerate(cams):
+            gt = jnp.clip(vp.image, 0.0, 1.0)
+            pkg = model.visual_step(iteration, end_iteration, vp, None)
+            image = jnp.clip(pkg["image"], 0.0, 1.0)
+            l1_t += float(l1_loss(image, gt))
+            psnr_t += float(psnr(image, gt).mean())
+            ssim_t += float(ssim_loss(image, gt))
+            if tb_writer and idx < 5:
+                name = f"{config['name']}_view_{vp.image_name}"
+                tb_writer.add_image(f"{name}/render", np.asarray(image),
+                                    iteration)
+                norm_img = np.clip(0.5 * (np.asarray(pkg["norm"]) + 1), 0, 1)
+                tb_writer.add_image(f"{name}/norm", norm_img, iteration)
+                tb_writer.add_image(f"{name}/alpha",
+                                    np.clip(np.asarray(pkg["alpha"]), 0, 1),
+                                    iteration)
+                d = np.asarray(pkg["depth"])
+                d = (d - d.min()) / (d.max() - d.min() + 1e-8)
+                tb_writer.add_image(f"{name}/depth", d, iteration)
+                for key, value in pkg.items():
+                    if key in ("image", "norm", "alpha", "depth"):
+                        continue
+                    tb_writer.add_image(f"{name}/{key}",
+                                        np.clip(np.asarray(value), 0, 1),
+                                        iteration)
+                if show_gt:
+                    tb_writer.add_image(f"{name}/ground_truth", np.asarray(gt),
+                                        iteration)
+        n = len(cams)
+        results[config["name"]] = dict(l1=l1_t / n, psnr=psnr_t / n,
+                                       ssim=ssim_t / n)
+        log.info(f"\n[ITER {iteration}] Evaluating {config['name']}: "
+                 f"L1 {l1_t / n:.4f} PSNR {psnr_t / n:.2f} "
+                 f"SSIM {ssim_t / n:.4f}")
+        if tb_writer:
+            for k, v in results[config["name"]].items():
+                tb_writer.add_scalar(f"{config['name']}/loss_viewpoint - {k}",
+                                     v, iteration)
+    if tb_writer and hasattr(model, "n_points"):
+        tb_writer.add_scalar("total_points", model.n_points, iteration)
+    return results
+
+
+def train(cfg: Cfg, log, tb_writer=None, scene=None, model=None,
+          progress=True):
+    """Main loop (parity: /root/reference/train.py:106-186).  Returns the
+    trained model (and last eval results) for programmatic use."""
+    from texgs.data.scene import create_dataset
+    from texgs.train.models import create_model
+
+    debug = bool(cfg.debug)
+    if model is None:
+        model = create_model(cfg.model_cfg, log, cfg.work_dir, debug)
+    if scene is None:
+        scene = create_dataset(cfg.dataset_cfg, log, cfg.work_dir, debug)
+
+    background = cfg.dataset_cfg.get_or("background", [0, 0, 0])
+    model.bind_train_cfg(cfg.train_cfg, background)
+
+    if cfg.get_or("resume_from", None):
+        sd, start_iteration = ckpt.load(cfg.resume_from)
+        model.load_state_dict(sd, cfg.optim_cfg)
+        log.info(f"Resumed from {cfg.resume_from} at iter {start_iteration}")
+    else:
+        model.initialize(scene.scene_info.point_cloud, scene.cameras_extent)
+        model.setup_optim(cfg.optim_cfg)
+        start_iteration = 0
+
+    end_iteration = int(cfg.train_cfg.num_iterations)
+    viewpoints = list(scene.getTrainCameras())
+    pool: list = []
+    ema_loss = 0.0
+    last_eval = None
+    t_start = time.time()
+
+    for iteration in range(start_iteration + 1, end_iteration + 1):
+        if not pool:
+            pool = list(viewpoints)
+        if debug:
+            viewpoint = pool.pop(0)
+        else:
+            viewpoint = pool.pop(random.randint(0, len(pool) - 1))
+
+        it_t0 = time.time()
+        loss, loss_stats, extra = model.compute_loss(
+            iteration, end_iteration, viewpoint, None, cfg.loss_cfg)
+        loss_f = float(loss)
+        it_time = time.time() - it_t0
+
+        ema_loss = 0.4 * loss_f + 0.6 * ema_loss
+        if progress and iteration % 50 == 0:
+            n_pts = getattr(model, "n_points", 0)
+            log.info(f"iter {iteration}/{end_iteration} "
+                     f"L={ema_loss:.6f} N={n_pts} "
+                     f"({(iteration - start_iteration) / (time.time() - t_start):.1f} it/s)")
+
+        if tb_writer:
+            for k, v in loss_stats.items():
+                tb_writer.add_scalar(f"train_loss_patches/{k}", float(v),
+                                     iteration)
+            tb_writer.add_scalar("iter_time", it_time * 1000.0, iteration)
+
+        visual_iters = cfg.train_cfg.get_or("visual_iters", [])
+        ckpt_iters = cfg.train_cfg.get_or("ckpt_iters", [])
+
+        if iteration in visual_iters and not debug:
+            if hasattr(model, "save_point_cloud"):
+                os.makedirs(os.path.join(cfg.work_dir, "pcds"), exist_ok=True)
+                model.save_point_cloud(
+                    os.path.join(cfg.work_dir, "pcds", f"{iteration}.ply"))
+
+        if iteration in visual_iters or (debug and iteration == end_iteration):
+            last_eval = visualize(tb_writer, iteration, end_iteration, model,
+                                  scene, log,
+                                  show_gt=(visual_iters
+                                           and iteration == min(visual_iters)))
+
+        if iteration in ckpt_iters and not debug:
+            log.info(f"\n[ITER {iteration}] Saving Checkpoint")
+            path = os.path.join(cfg.work_dir, "checkpoints", str(iteration))
+            ckpt.save(path, model.state_dict(), iteration)
+
+        model.optimize_step(iteration, end_iteration, cfg.train_cfg, extra)
+
+    return model, scene, last_eval
