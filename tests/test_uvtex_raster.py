@@ -1,0 +1,146 @@
+"""UV-texture rasterizer: oracle vs chunked path, outputs + cotangents.
+
+Scene: Gaussians on a blob with uv = normalize(xyz) and the true Jacobian
+of that map (jacfwd), a smooth procedural cubemap texture, opacities high
+enough that per-pixel contributor counts stay well under the M truncation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from texgs.core.camera import Camera
+from texgs.core.state import init_from_pcd
+from texgs.data.synthetic import blob_point_cloud, orbit_cameras
+from texgs.kernels import project as proj_k
+from texgs.kernels.cubemap import (direction_to_face_uv, face_uv_to_direction,
+                                   sample_cubemap)
+from texgs.kernels.uvtex_raster import rasterize_uvtex
+from tests.test_rasterizer import assert_close_mostly
+
+
+def _uv_map(xyz):
+    return xyz / (jnp.linalg.norm(xyz, axis=-1, keepdims=True) + 1e-12)
+
+
+def _uv_jacobians(xyz):
+    jac = jax.vmap(jax.jacfwd(lambda p: p / (jnp.linalg.norm(p) + 1e-12)))(xyz)
+    return jac.reshape(-1, 9)
+
+
+def _texture(res=64):
+    # smooth direction-dependent texture in SH0 space
+    face = jnp.arange(6)
+    u = (jnp.arange(res) + 0.5) / res * 2 - 1
+    fu, fv = jnp.meshgrid(u, u, indexing="xy")
+    texs = []
+    for f in range(6):
+        d = face_uv_to_direction(jnp.full(fu.shape, f, jnp.int32), fu, fv)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        rgb = 0.5 + 0.4 * jnp.stack([
+            jnp.sin(3 * d[..., 0]), jnp.cos(2 * d[..., 1]),
+            jnp.sin(2 * d[..., 2])], axis=-1)
+        texs.append((rgb - 0.5) / 0.28209479177387814)
+    return jnp.stack(texs)
+
+
+def _scene(n=400, size=48, opacity=6.0):
+    pcd = blob_point_cloud(n, seed=7)
+    state = init_from_pcd(pcd.points, pcd.colors, max_sh_degree=3)
+    state = state.replace(opacity=jnp.full_like(state.opacity, opacity))
+    cam = orbit_cameras(1, radius=3.5, width=size, height=size)[0]
+    uvs = _uv_map(state.xyz)
+    jac = _uv_jacobians(state.xyz)
+    shs = 0.05 * jax.random.normal(jax.random.PRNGKey(0),
+                                   (state.capacity, 15, 3))
+    return state, cam, uvs, jac, shs, _texture()
+
+
+def _run(state, cam, uvs, jac, shs, tex, backend, deg=2):
+    proj = proj_k.project_gaussians(
+        state.xyz, state.get_scaling(), state.get_rotation(),
+        state.get_opacity(), jnp.zeros_like(state.xyz),
+        cam.world_view, cam.full_proj, cam.camera_center,
+        cam.width, cam.height, cam.tanfovx, cam.tanfovy)
+    # m=96 >= the max contributor count of this (soft-opacity) test scene,
+    # so the chunked path is exactly the oracle; production default m=32
+    # truncates the low-weight tail.
+    return rasterize_uvtex(proj, state.get_scaling(), state.get_rotation(),
+                           state.xyz, uvs, jac, tex, shs, deg, cam,
+                           jnp.zeros(3), backend=backend, chunk=64, m=96)
+
+
+def test_cubemap_roundtrip():
+    key = jax.random.PRNGKey(1)
+    d = jax.random.normal(key, (500, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    face, u, v = direction_to_face_uv(d)
+    d2 = face_uv_to_direction(face, u, v)
+    d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d), atol=1e-5)
+
+
+def test_cubemap_sampling_smooth():
+    tex = _texture()
+    d = jnp.array([[1.0, 0.01, 0.01], [0.01, 1.0, 0.01], [0.0, 0.0, -1.0]])
+    out = sample_cubemap(tex, d)
+    assert np.isfinite(np.asarray(out)).all()
+    # sampling matches the generating function up to bilinear error
+    expect = (0.5 + 0.4 * jnp.stack([
+        jnp.sin(3 * d[:, 0] / jnp.linalg.norm(d, axis=1)),
+        jnp.cos(2 * d[:, 1] / jnp.linalg.norm(d, axis=1)),
+        jnp.sin(2 * d[:, 2] / jnp.linalg.norm(d, axis=1))], axis=-1)
+        - 0.5) / 0.28209479177387814
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=0.05)
+
+
+def test_uvtex_oracle_renders():
+    state, cam, uvs, jac, shs, tex = _scene()
+    out = _run(state, cam, uvs, jac, shs, tex, "reference")
+    img = np.asarray(out.image)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.1
+    assert np.asarray(out.alpha).max() > 0.9
+
+
+def test_uvtex_scan_matches_oracle():
+    state, cam, uvs, jac, shs, tex = _scene()
+    ref = _run(state, cam, uvs, jac, shs, tex, "reference")
+    got = _run(state, cam, uvs, jac, shs, tex, "scan")
+    assert_close_mostly(got.image, ref.image, atol=1e-4, frac=0.995,
+                        hard_atol=3e-2, name="image")
+    assert_close_mostly(got.alpha, ref.alpha, atol=2e-5, name="alpha")
+    assert_close_mostly(got.norm, ref.norm, atol=2e-5, name="norm")
+
+
+def test_uvtex_grads_match_oracle():
+    state, cam, uvs, jac, shs, tex = _scene(n=256, size=32)
+    target = jnp.zeros((3, cam.height, cam.width))
+
+    def make_loss(backend):
+        def f(xyz, uvs_, tex_, shs_):
+            st = state.replace(xyz=xyz)
+            out = _run(st, cam, uvs_, jac, shs_, tex_, backend)
+            return jnp.abs(out.image - target).mean()
+        return f
+
+    args = (state.xyz, uvs, tex, shs)
+    g_ref = jax.grad(make_loss("reference"), argnums=(0, 1, 2, 3))(*args)
+    g_scan = jax.grad(make_loss("scan"), argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g_ref, g_scan, ["xyz", "uvs", "texture", "shs"]):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / denom, a / denom, atol=2e-3,
+                                   err_msg=f"grad mismatch: {name}")
+    # texture gradients must be nonzero (the texture explains the image)
+    assert np.abs(np.asarray(g_scan[2])).max() > 0
+
+
+def test_uvtex_texture_drives_image():
+    state, cam, uvs, jac, shs, tex = _scene()
+    out1 = _run(state, cam, uvs, jac, shs, tex, "scan")
+    out2 = _run(state, cam, uvs, jac, shs, tex * 0 - 1.0, "scan")
+    # darker texture -> darker image inside the object
+    m = np.asarray(out1.alpha)[0] > 0.9
+    assert (np.asarray(out1.image)[:, m].mean()
+            > np.asarray(out2.image)[:, m].mean() + 0.1)

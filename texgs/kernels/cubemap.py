@@ -1,0 +1,115 @@
+"""Differentiable cubemap sampling + cube<->latlong conversion.
+
+Replaces nvdiffrast's `dr.texture(boundary_mode='cube')` (used for the
+stage-2 chessboard visualization, /root/reference/models/
+uv_map_gaussian3d.py:259) and NVDIFFREC's cubemap_to_latlong
+(/root/reference/models/modules/NVDIFFREC/util.py:119-133), and provides
+the cubemap fetch for the UV-texture rasterizer.
+
+Face convention (OpenGL cube-map order +x,-x,+y,-y,+z,-z):
+  face 0 (+x): u = -z/|x|, v = -y/|x|      face 1 (-x): u =  z/|x|, v = -y/|x|
+  face 2 (+y): u =  x/|y|, v =  z/|y|      face 3 (-y): u =  x/|y|, v = -z/|y|
+  face 4 (+z): u =  x/|z|, v = -y/|z|      face 5 (-z): u = -x/|z|, v = -y/|z|
+Bilinear filtering with edge clamping (nvdiffrast's seamless cube-edge
+filtering is approximated by the clamp; divergence noted).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def direction_to_face_uv(dirs: jnp.ndarray):
+    """dirs: (..., 3) -> (face int32, u, v in [-1, 1])."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    is_z = ~(is_x | is_y)
+
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-12)
+
+    face = jnp.where(
+        is_x, jnp.where(x >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(y >= 0, 2, 3),
+                  jnp.where(z >= 0, 4, 5))).astype(jnp.int32)
+
+    u = jnp.where(is_x, jnp.where(x >= 0, -z, z),
+                  jnp.where(is_y, x, jnp.where(z >= 0, x, -x)))
+    v = jnp.where(is_x, -y,
+                  jnp.where(is_y, jnp.where(y >= 0, z, -z), -y))
+    return face, u / ma, v / ma
+
+
+def face_uv_to_direction(face: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Inverse of direction_to_face_uv (unnormalized direction)."""
+    one = jnp.ones_like(u)
+    dirs = jnp.stack([
+        jnp.stack([one, -v, -u], -1),   # +x
+        jnp.stack([-one, -v, u], -1),   # -x
+        jnp.stack([u, one, v], -1),     # +y
+        jnp.stack([u, -one, -v], -1),   # -y
+        jnp.stack([u, -v, one], -1),    # +z
+        jnp.stack([-u, -v, -one], -1),  # -z
+    ], axis=0)
+    return jnp.take_along_axis(
+        dirs, face[None, ..., None].repeat(3, axis=-1), axis=0)[0]
+
+
+def sample_cubemap(texture: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear cubemap fetch.  texture: (6, R, R, 3); dirs: (N, 3) any
+    norm.  Returns (N, 3).  Differentiable in texture and dirs."""
+    res = texture.shape[1]
+    face, u, v = direction_to_face_uv(dirs)
+
+    fu = (u * 0.5 + 0.5) * res - 0.5
+    fv = (v * 0.5 + 0.5) * res - 0.5
+    x0 = jnp.floor(fu)
+    y0 = jnp.floor(fv)
+    wx = fu - x0
+    wy = fv - y0
+
+    def tap(xi, yi):
+        xi = jnp.clip(xi.astype(jnp.int32), 0, res - 1)
+        yi = jnp.clip(yi.astype(jnp.int32), 0, res - 1)
+        return texture[face, yi, xi]
+
+    t00 = tap(x0, y0)
+    t10 = tap(x0 + 1, y0)
+    t01 = tap(x0, y0 + 1)
+    t11 = tap(x0 + 1, y0 + 1)
+    top = t00 * (1 - wx[..., None]) + t10 * wx[..., None]
+    bot = t01 * (1 - wx[..., None]) + t11 * wx[..., None]
+    return top * (1 - wy[..., None]) + bot * wy[..., None]
+
+
+def cubemap_to_latlong(cubemap: jnp.ndarray, resolution) -> jnp.ndarray:
+    """(6, R, R, 3) -> (H, W, 3) equirectangular panorama, matching
+    NVDIFFREC util.cubemap_to_latlong's spherical parameterization."""
+    h, w = resolution
+    gy = (jnp.arange(h) + 0.5) / h
+    gx = (jnp.arange(w) + 0.5) / w
+    gv, gu = jnp.meshgrid(gy, gx, indexing="ij")
+    sintheta = jnp.sin(gv * jnp.pi)
+    costheta = jnp.cos(gv * jnp.pi)
+    sinphi = jnp.sin(gu * 2 * jnp.pi - jnp.pi)
+    cosphi = jnp.cos(gu * 2 * jnp.pi - jnp.pi)
+    dirs = jnp.stack([sintheta * sinphi, costheta, -sintheta * cosphi],
+                     axis=-1)
+    return sample_cubemap(cubemap, dirs.reshape(-1, 3)).reshape(h, w, 3)
+
+
+def chessboard_cubemap(resolution: int = 6, cell: int = 16) -> jnp.ndarray:
+    """The stage-2 visualization texture: cyan/red checkerboard
+    (uv_map_gaussian3d.py:250-260)."""
+    n = resolution * cell
+    iy = jnp.arange(n) // cell
+    ix = jnp.arange(n) // cell
+    parity = (iy[:, None] + ix[None, :]) % 2
+    c0 = jnp.asarray([0.0, 1.0, 1.0])
+    c1 = jnp.asarray([1.0, 0.0, 0.0])
+    img = jnp.where(parity[..., None] == 0, c0, c1)
+    return jnp.tile(img[None], (6, 1, 1, 1))

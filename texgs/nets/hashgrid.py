@@ -1,0 +1,58 @@
+"""Multiresolution hash-grid encoding (the tiny-cuda-nn HashGrid replacement).
+
+Same scheme/hyperparameters as the reference's tcnn encoding
+(/root/reference/models/modules/utils.py:6-18; configs/uv_map.yaml:35-38):
+L levels x F features, 2^log2_hashmap-entry table per level, base resolution
+16, per-level scale 1.447, spatial-hash with the standard primes, trilinear
+interpolation.  Pure jnp: 8 corner gathers per level, differentiable into
+the table for free.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+PRIMES = (1, 2654435761, 805459861)
+BASE_RESOLUTION = 16
+PER_LEVEL_SCALE = 1.447
+
+
+def init_hashgrid(key, n_levels: int, n_features_per_level: int,
+                  log2_hashmap_size: int) -> dict:
+    table = jax.random.uniform(
+        key, (n_levels, 2 ** log2_hashmap_size, n_features_per_level),
+        minval=-1e-4, maxval=1e-4)
+    return {"table": table}
+
+
+def _hash(ix, iy, iz, table_size: int):
+    h = (ix * PRIMES[0]) ^ (iy * PRIMES[1]) ^ (iz * PRIMES[2])
+    return jnp.remainder(h, table_size)
+
+
+def apply_hashgrid(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """x: (N, 3) in [0, 1] -> (N, L * F) encoded features."""
+    table = params["table"]
+    n_levels, table_size, n_feat = table.shape
+
+    outs = []
+    for level in range(n_levels):
+        res = int(math.floor(BASE_RESOLUTION * PER_LEVEL_SCALE ** level))
+        pos = x * res
+        ipos = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - ipos
+
+        feats = 0.0
+        for corner in range(8):
+            dx, dy, dz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
+            idx = _hash(ipos[:, 0] + dx, ipos[:, 1] + dy, ipos[:, 2] + dz,
+                        table_size)
+            w = (jnp.where(dx, frac[:, 0], 1 - frac[:, 0])
+                 * jnp.where(dy, frac[:, 1], 1 - frac[:, 1])
+                 * jnp.where(dz, frac[:, 2], 1 - frac[:, 2]))
+            feats = feats + w[:, None] * table[level, idx]
+        outs.append(feats)
+    return jnp.concatenate(outs, axis=-1)
