@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Write a procedural scene to disk in NeRF-synthetic (Blender) format.
+
+The data-prep counterpart of the reference's Blender renderer
+(/root/reference/scripts/render_obj_file.py, which drives bpy): produces
+``transforms_train.json`` / ``transforms_test.json`` plus per-view PNGs with
+``_normal`` / ``_alpha`` companion images, using texgs's own oracle
+renderer — so the full on-disk Blender-reader path can be exercised without
+Blender.  For real .obj assets, see scripts/render_obj_file.py (requires a
+Blender install).
+
+Usage:
+  python scripts/make_synthetic_dataset.py out_dir [--kind blob] [--n 4096]
+         [--views 64] [--test_views 8] [--size 400]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from argparse import ArgumentParser
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("out_dir")
+    parser.add_argument("--kind", default="blob", choices=["blob", "sphere"])
+    parser.add_argument("--n", type=int, default=4096)
+    parser.add_argument("--views", type=int, default=64)
+    parser.add_argument("--test_views", type=int, default=8)
+    parser.add_argument("--size", type=int, default=400)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import imageio
+    import jax.numpy as jnp
+
+    from texgs.core.state import init_from_pcd
+    from texgs.data.synthetic import (blob_point_cloud, orbit_cameras,
+                                      sphere_point_cloud)
+    from texgs.kernels import project as proj_k
+    from texgs.kernels.reference import rasterize_reference
+
+    pcd = (sphere_point_cloud(args.n, seed=args.seed) if args.kind == "sphere"
+           else blob_point_cloud(args.n, seed=args.seed))
+    state = init_from_pcd(pcd.points, pcd.colors, max_sh_degree=0)
+    state = state.replace(opacity=jnp.full_like(state.opacity, 4.0))
+
+    total = args.views + args.test_views
+    cams = orbit_cameras(total, radius=3.5, width=args.size,
+                         height=args.size)
+
+    splits = {"train": cams[: args.views], "test": cams[args.views:]}
+    os.makedirs(args.out_dir, exist_ok=True)
+    for split, split_cams in splits.items():
+        os.makedirs(os.path.join(args.out_dir, split), exist_ok=True)
+        frames = []
+        for i, cam in enumerate(split_cams):
+            colors = proj_k.sh_colors(state.get_features(), state.xyz,
+                                      cam.camera_center, 0)
+            proj = proj_k.project_gaussians(
+                state.xyz, state.get_scaling(), state.get_rotation(),
+                state.get_opacity(), colors, cam.world_view, cam.full_proj,
+                cam.camera_center, cam.width, cam.height, cam.tanfovx,
+                cam.tanfovy)
+            out = rasterize_reference(proj, cam.height, cam.width,
+                                      jnp.zeros(3))
+            rgb = np.clip(np.asarray(out.image).transpose(1, 2, 0), 0, 1)
+            alpha = np.clip(np.asarray(out.alpha[0]), 0, 1)
+            normal = np.clip(
+                0.5 * (np.asarray(out.norm).transpose(1, 2, 0) + 1), 0, 1)
+
+            name = f"r_{i}"
+            rgba = np.concatenate([rgb, alpha[..., None]], axis=-1)
+            imageio.imwrite(
+                os.path.join(args.out_dir, split, name + ".png"),
+                (rgba * 255).astype(np.uint8))
+            imageio.imwrite(
+                os.path.join(args.out_dir, split, name + "_normal.png"),
+                (normal * 255).astype(np.uint8))
+            imageio.imwrite(
+                os.path.join(args.out_dir, split, name + "_alpha.png"),
+                ((alpha > 0.5)[..., None].repeat(3, -1) * 255).astype(np.uint8))
+
+            # camera-to-world in OpenGL/Blender convention (the reader flips
+            # the Y/Z axes back, data/readers.py)
+            w2c = np.asarray(cam.world_view).T
+            c2w = np.linalg.inv(w2c)
+            c2w[:3, 1:3] *= -1
+            frames.append({"file_path": f"./{split}/{name}",
+                           "transform_matrix": c2w.tolist()})
+
+        with open(os.path.join(args.out_dir, f"transforms_{split}.json"),
+                  "w") as f:
+            json.dump({"camera_angle_x": cams[0].fovx, "frames": frames}, f,
+                      indent=1)
+    print(f"wrote {total} views to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Full three-stage pipeline integration test (geometry -> UV map -> texture)
+on a tiny synthetic scene, plus the extract/retexture/viewer tools.
+
+The CPU-scale version of the reference's stage-sequenced workflow
+(/root/reference/README.md:100-139): each stage hands its checkpoint to the
+next, exactly as the configs do on DTU.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from texgs.config import load_config
+from texgs.train.driver import train
+from texgs.utils.logger import get_logger
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+SCENE = "synthetic://blob?n=512&views=6&size=48"
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("pipe"))
+
+
+@pytest.fixture(scope="module")
+def stage1(workdir):
+    cfg = load_config(os.path.join(CFG_DIR, "synthetic_smoke.yaml"))
+    cfg.work_dir = os.path.join(workdir, "s1")
+    os.makedirs(os.path.join(cfg.work_dir, "checkpoints"), exist_ok=True)
+    cfg.debug = False
+    cfg.dataset_cfg.data_root_dir = SCENE
+    cfg.train_cfg.num_iterations = 150
+    cfg.train_cfg.visual_iters = [150]
+    cfg.train_cfg.ckpt_iters = [150]
+    cfg.train_cfg.densify_from_iter = 20
+    cfg.train_cfg.densification_interval = 50
+    cfg.train_cfg.densify_until_iter = 120
+    cfg.loss_cfg.norm_range = [0, None]
+    cfg.loss_cfg.norm_smooth_range = [0, None]
+    cfg.loss_cfg.opacity_reg_range = [0, None]
+    log = get_logger("texgs-test")
+    model, scene, ev = train(cfg, log, None, progress=False)
+    ckpt_path = os.path.join(cfg.work_dir, "checkpoints", "150")
+    return cfg, ckpt_path, scene
+
+
+@pytest.fixture(scope="module")
+def pcd_path(stage1, workdir):
+    from texgs.tools.extract_pcd import extract_pcd
+    _, ckpt_path, _ = stage1
+    out = os.path.join(workdir, "pcd")
+    pts = extract_pcd(ckpt_path, out, num_points=512)
+    assert pts.shape == (512, 3)
+    assert np.isfinite(pts).all()
+    return out + ".npy"
+
+
+@pytest.fixture(scope="module")
+def stage2(stage1, pcd_path, workdir):
+    _, s1_ckpt, scene = stage1
+    cfg = load_config(os.path.join(CFG_DIR, "synthetic_uv_map.yaml"))
+    cfg.work_dir = os.path.join(workdir, "s2")
+    os.makedirs(os.path.join(cfg.work_dir, "checkpoints"), exist_ok=True)
+    cfg.debug = False
+    cfg.dataset_cfg.data_root_dir = SCENE
+    cfg.model_cfg.init_from = s1_ckpt
+    cfg.model_cfg.pcd_load_from = pcd_path
+    cfg.model_cfg.max_inverse_points = 2048
+    cfg.model_cfg.inv_uv_net_cfg.n_sample_points = 256
+    cfg.model_cfg.inv_uv_net_cfg.pre_mlp_cfg.hash_grid_cfg.n_levels = 4
+    cfg.train_cfg.num_iterations = 120
+    cfg.train_cfg.visual_iters = [120]
+    cfg.train_cfg.ckpt_iters = [120]
+    log = get_logger("texgs-test")
+    model, scene2, ev = train(cfg, log, None, scene=scene, progress=False)
+    ckpt_path = os.path.join(cfg.work_dir, "checkpoints", "120")
+    return cfg, model, ckpt_path
+
+
+def test_stage2_losses_finite_and_learning(stage2):
+    cfg, model, ckpt_path = stage2
+    assert os.path.exists(ckpt_path + ".npz")
+    # the inverse cycle must be reasonably tight after a few steps on this
+    # tiny scene: measure ||x - inv(uv(x))|| on the gaussian centers
+    from texgs.nets.uv_net import apply_inv_uv_net, apply_uv_net
+    n = int(model.gauss["n_alive"])
+    xyz = model.gauss["xyz"][:n]
+    uv = apply_uv_net(model.net_params["uv_net"], cfg.model_cfg.uv_net_cfg,
+                      xyz, model.net_params["geo_emb"])
+    # uv on the unit sphere
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(uv, axis=1)), 1.0,
+                               atol=1e-4)
+    inv = apply_inv_uv_net(model.net_params["inv_uv_net"],
+                           cfg.model_cfg.inv_uv_net_cfg, uv,
+                           model.net_params["geo_emb"])
+    err = float(jnp.linalg.norm(xyz - inv, axis=1).mean())
+    assert np.isfinite(err)
+    assert err < 2.0  # scene diameter ~2.4; the cycle must be in range
+
+
+def test_stage2_chess_visualization(stage2):
+    cfg, model, _ = stage2
+    from texgs.data.scene import create_dataset
+    log = get_logger("texgs-test")
+    pkg = None
+    for cam_uid, cached in list(model._depth_alpha_cache.items())[:1]:
+        pass
+    # use any camera from the cache-producing scene via visual_step
+    # (re-create a camera from the synthetic scene)
+    from texgs.data.synthetic import orbit_cameras
+    cam = orbit_cameras(1, radius=3.5, width=48, height=48)[0]
+    pkg = model.visual_step(0, 0, cam, None)
+    chess = np.asarray(pkg["chess_image"])
+    assert chess.shape == (3, 48, 48)
+    assert np.isfinite(chess).all()
+
+
+@pytest.fixture(scope="module")
+def stage3(stage1, stage2, workdir):
+    _, s1_ckpt, scene = stage1
+    _, _, s2_ckpt = stage2
+    cfg = load_config(os.path.join(CFG_DIR, "synthetic_texture.yaml"))
+    cfg.work_dir = os.path.join(workdir, "s3")
+    os.makedirs(os.path.join(cfg.work_dir, "checkpoints"), exist_ok=True)
+    cfg.debug = False
+    cfg.dataset_cfg.data_root_dir = SCENE
+    cfg.model_cfg.init_from = s1_ckpt
+    cfg.model_cfg.init_uv_map_from = s2_ckpt
+    cfg.model_cfg.max_inverse_points = 2048
+    cfg.model_cfg.inv_uv_net_cfg.n_sample_points = 256
+    cfg.model_cfg.inv_uv_net_cfg.pre_mlp_cfg.hash_grid_cfg.n_levels = 4
+    cfg.model_cfg.tex_cfg.resolution = 64
+    cfg.model_cfg.tex_cfg.max_sh_degree = 1
+    cfg.model_cfg.uvtex_m = 16
+    cfg.train_cfg.num_iterations = 60
+    cfg.train_cfg.visual_iters = [60]
+    cfg.train_cfg.ckpt_iters = [60]
+    cfg.train_cfg.min_scale_reset_interval = 0
+    cfg.optim_cfg.gaussian_optim_range = [30, None]
+    cfg.loss_cfg.rgb_no_sh_range = [30, None]
+    cfg.loss_cfg.alpha_range = [30, None]
+    cfg.loss_cfg.norm_smooth_range = [30, None]
+    cfg.loss_cfg.inverse_range = [30, None]
+    log = get_logger("texgs-test")
+    model, scene3, ev = train(cfg, log, None, scene=scene, progress=False)
+    ckpt_path = os.path.join(cfg.work_dir, "checkpoints", "60")
+    return cfg, model, ckpt_path, ev, scene
+
+
+def test_stage3_learns_texture(stage3):
+    cfg, model, ckpt_path, ev, scene = stage3
+    assert os.path.exists(ckpt_path + ".npz")
+    tex = np.asarray(model.tex_params["texture"])
+    assert np.abs(tex).max() > 1e-3, "texture never received gradient"
+    assert ev is not None and np.isfinite(ev["test"]["psnr"])
+    assert ev["test"]["psnr"] > 10.0
+
+
+def test_stage3_tools(stage3, workdir):
+    cfg, model, ckpt_path, _, scene = stage3
+    from texgs.tools.extract_texture import extract_texture
+    out_png = os.path.join(workdir, "texture.png")
+    cube = extract_texture(cfg, ckpt_path, out_png)
+    assert os.path.exists(out_png)
+    res = cfg.model_cfg.tex_cfg.resolution
+    assert cube.shape == (3 * res, 4 * res, 3)
+
+    # change_texture roundtrip: replace mode must give back what we put in
+    import imageio
+    img = np.asarray(imageio.imread(out_png), np.float32) / 255.0
+    model.change_texture(img[..., :3], mode=-1)
+    cube2 = np.asarray(model.cube_map())
+    np.testing.assert_allclose(cube2, np.clip(cube, 0, 1), atol=2e-2)
+
+    # viewer renders a frame headlessly
+    from texgs.tools.viewer import ViewerState
+    vs = ViewerState(model, 48, 48)
+    for mode in ("rgb", "depth", "alpha", "norm"):
+        frame = vs.render_frame(0.3, 0.2, 3.5, mode, 1.0)
+        assert frame.shape == (48, 48, 3) and frame.dtype == np.uint8
+
+
+def test_retexture_tool(stage3, workdir):
+    cfg, model, ckpt_path, _, scene = stage3
+    from texgs.tools.retexture import retexture
+    out_dir = os.path.join(workdir, "retex")
+    import imageio
+    # solid gray replacement texture
+    res = cfg.model_cfg.tex_cfg.resolution
+    tex_img = np.full((3 * res, 4 * res, 3), 128, np.uint8)
+    tex_path = os.path.join(workdir, "swap.png")
+    imageio.imwrite(tex_path, tex_img)
+    cfg2 = load_config(os.path.join(CFG_DIR, "synthetic_texture.yaml"))
+    for k, v in cfg.items():
+        cfg2[k] = v
+    cfg2.debug = False
+    _, outs = retexture(cfg2, ckpt_path, out_dir,
+                        load_texture_from=tex_path, mode=-1, splits=("test",))
+    assert outs["test"], "no views rendered"
+    img = imageio.imread(outs["test"][0])
+    assert img.shape[:2] == (48, 48)

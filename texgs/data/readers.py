@@ -110,14 +110,21 @@ def read_colmap_scene(path: str, images: Optional[str], eval_split: bool,
     """COLMAP reader incl. optional ../masks folder
     (dataset_readers.py:65-190)."""
     from texgs.data import colmap as cm
+    from texgs.data import native
 
     sparse = os.path.join(path, "sparse/0")
-    try:
-        extr = cm.read_images_binary(os.path.join(sparse, "images.bin"))
-        intr = cm.read_cameras_binary(os.path.join(sparse, "cameras.bin"))
-    except FileNotFoundError:
-        extr = cm.read_images_text(os.path.join(sparse, "images.txt"))
-        intr = cm.read_cameras_text(os.path.join(sparse, "cameras.txt"))
+    extr = intr = None
+    if os.path.exists(os.path.join(sparse, "images.bin")):
+        # native C++ fast path; the Python parser is the fallback/reference
+        extr = native.read_images_binary(os.path.join(sparse, "images.bin"))
+        intr = native.read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+    if extr is None or intr is None:
+        try:
+            extr = cm.read_images_binary(os.path.join(sparse, "images.bin"))
+            intr = cm.read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+        except FileNotFoundError:
+            extr = cm.read_images_text(os.path.join(sparse, "images.txt"))
+            intr = cm.read_cameras_text(os.path.join(sparse, "cameras.txt"))
 
     reading_dir = images if images else "images"
     folder = os.path.join(path, reading_dir)

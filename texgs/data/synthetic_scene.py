@@ -43,16 +43,22 @@ def make_synthetic_scene_info(uri: str, cfg, debug: bool = False) -> SceneInfo:
     cams = orbit_cameras(views, radius=3.5, width=size, height=size)
     bg = jnp.asarray(cfg.get_or("background", [0, 0, 0]), jnp.float32)
 
-    infos = []
-    for cam in cams:
-        colors = proj_k.sh_colors(gt_state.get_features(), gt_state.xyz,
+    import jax
+
+    @jax.jit
+    def render_gt(state, cam):
+        colors = proj_k.sh_colors(state.get_features(), state.xyz,
                                   cam.camera_center, 0)
         proj = proj_k.project_gaussians(
-            gt_state.xyz, gt_state.get_scaling(), gt_state.get_rotation(),
-            gt_state.get_opacity(), colors, cam.world_view, cam.full_proj,
+            state.xyz, state.get_scaling(), state.get_rotation(),
+            state.get_opacity(), colors, cam.world_view, cam.full_proj,
             cam.camera_center, cam.width, cam.height, cam.tanfovx,
             cam.tanfovy)
-        out = rasterize_reference(proj, cam.height, cam.width, bg)
+        return rasterize_reference(proj, cam.height, cam.width, bg)
+
+    infos = []
+    for cam in cams:
+        out = render_gt(gt_state, cam)
         image = np.clip(np.asarray(out.image).transpose(1, 2, 0), 0, 1)
         alpha = np.asarray(out.alpha[0])
         normal = np.clip(0.5 * (np.asarray(out.norm).transpose(1, 2, 0) + 1),

@@ -39,8 +39,10 @@ def write_ply(path, fields: dict[str, np.ndarray]):
         header.append(f"property {tname} {name}")
         cols.append((name, arr))
     header.append("end_header")
-    rec = np.core.records.fromarrays([c[1] for c in cols],
-                                     names=[c[0] for c in cols])
+    rec_dtype = np.dtype([(name, arr.dtype) for name, arr in cols])
+    rec = np.empty(n, dtype=rec_dtype)
+    for name, arr in cols:
+        rec[name] = arr
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
         rec.tofile(f)
@@ -106,6 +108,19 @@ def read_ply(path) -> dict[str, np.ndarray]:
 def read_pcd(path):
     """Read (points, colors, normals) as float arrays; colors in [0, 1]."""
     from texgs.utils.graphics import BasicPointCloud
+
+    try:
+        from texgs.data import native
+        fast = native.read_ply_xyz(path)
+    except Exception:
+        fast = None
+    if fast is not None:
+        pts, colors, normals = fast
+        return BasicPointCloud(
+            points=pts,
+            colors=colors if colors is not None else np.ones_like(pts) * 0.5,
+            normals=normals if normals is not None else np.zeros_like(pts))
+
     d = read_ply(path)
     pts = np.stack([d["x"], d["y"], d["z"]], axis=1).astype(np.float32)
     if "red" in d:

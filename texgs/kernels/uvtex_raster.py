@@ -282,11 +282,11 @@ def mlist_scan(attrs: jnp.ndarray, uv_rows: jnp.ndarray, pairs: PairList,
         rank = count[:, None] + _cumsum_excl(accept)
         vals = jnp.concatenate([w[..., None], uv], axis=-1)  # (PIX, K, 4)
 
-        slot_updates = []
-        for mi in range(m):
-            mask = ((rank == mi) & (accept > 0)).astype(attrs.dtype)
-            slot_updates.append((mask[..., None] * vals).sum(axis=1))
-        upd = jnp.stack(slot_updates, axis=1)           # (PIX, M, 4)
+        # scatter-by-rank as one batched contraction: at most one k per
+        # (pixel, slot), so sum == select
+        onehot = ((rank[..., None] == jnp.arange(m)[None, None, :])
+                  & (accept[..., None] > 0)).astype(attrs.dtype)
+        upd = jnp.einsum("pkm,pkc->pmc", onehot, vals)   # (PIX, M, 4)
         upd = jnp.where(live, upd, 0.0)
         out = out.at[tile_ix].add(upd)
 
@@ -346,7 +346,10 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
                                 camera.camera_center)
 
     if backend == "auto":
-        backend = "reference" if xyz.shape[0] <= 4096 else "scan"
+        # on TPU the dense oracle's compile is pathological (minutes through
+        # remote compile); the chunked path is the production one there
+        backend = ("scan" if jax.default_backend() == "tpu"
+                   else ("reference" if xyz.shape[0] <= 4096 else "scan"))
     if backend == "reference":
         return rasterize_uvtex_reference(proj, tables, texture, camera, bg,
                                          extra_attrs=extra_attrs,

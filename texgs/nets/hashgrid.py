@@ -29,8 +29,11 @@ def init_hashgrid(key, n_levels: int, n_features_per_level: int,
 
 
 def _hash(ix, iy, iz, table_size: int):
-    h = (ix * PRIMES[0]) ^ (iy * PRIMES[1]) ^ (iz * PRIMES[2])
-    return jnp.remainder(h, table_size)
+    # uint32 wraparound arithmetic, as in tcnn's spatial hash
+    h = ((ix.astype(jnp.uint32) * jnp.uint32(PRIMES[0]))
+         ^ (iy.astype(jnp.uint32) * jnp.uint32(PRIMES[1]))
+         ^ (iz.astype(jnp.uint32) * jnp.uint32(PRIMES[2])))
+    return (h % jnp.uint32(table_size)).astype(jnp.int32)
 
 
 def apply_hashgrid(params: dict, x: jnp.ndarray) -> jnp.ndarray:

@@ -35,7 +35,9 @@ def render(viewpoint_camera: Camera, *,
            backend: str = "auto",
            pair_cap: Optional[int] = None,
            chunk: int = 128,
-           normalize_depth: bool = True) -> dict:
+           normalize_depth: bool = True,
+           row_offset=None,
+           band_height: Optional[int] = None) -> dict:
     """Render one view.
 
     All Gaussian inputs are *activated* values (exp-scaling, normalized
@@ -61,6 +63,19 @@ def render(viewpoint_camera: Camera, *,
         cov3d_precomp=cov3d_precomp,
         ndc_offset=ndc_offset)
 
+    # Tile-sharded band rendering (texgs.dist.tile_parallel): shift the
+    # projected means by the band's pixel row offset and rasterize a short
+    # image — every kernel only ever sees tile-local coordinates, so a
+    # traced shift costs one subtraction.
+    height = cam.height
+    if row_offset is not None:
+        assert band_height is not None
+        shift = jnp.stack([jnp.zeros_like(jnp.asarray(row_offset,
+                                                      jnp.float32)),
+                           jnp.asarray(row_offset, jnp.float32)])
+        proj = proj._replace(means2d=proj.means2d - shift[None, :])
+        height = band_height
+
     if backend == "auto":
         import jax
         if jax.default_backend() == "tpu":
@@ -69,11 +84,11 @@ def render(viewpoint_camera: Camera, *,
             backend = "reference" if xyz.shape[0] <= 4096 else "scan"
 
     if backend == "reference":
-        out = rasterize_reference(proj, cam.height, cam.width, bg_color,
+        out = rasterize_reference(proj, height, cam.width, bg_color,
                                   extra_attrs=extra_attrs,
                                   normalize_depth=normalize_depth)
     else:
-        out = rasterize_tiled(proj, cam.height, cam.width, bg_color,
+        out = rasterize_tiled(proj, height, cam.width, bg_color,
                               extra_attrs=extra_attrs, pair_cap=pair_cap,
                               chunk=chunk, normalize_depth=normalize_depth,
                               backend=backend)

@@ -32,6 +32,7 @@ def uv_tex_render(viewpoint_camera: Camera, *,
                   backend: str = "auto",
                   pair_cap: Optional[int] = None,
                   chunk: int = 128,
+                  m: int = 32,
                   normalize_depth: bool = True) -> dict:
     """Render one view with per-intersection UV-mapped cubemap appearance.
 
@@ -56,7 +57,7 @@ def uv_tex_render(viewpoint_camera: Camera, *,
         proj, scaling * scaling_modifier, rotation, xyz,
         uvs, grad_uvs, texture, shs, active_sh_degree,
         cam, bg_color, extra_attrs=extra_attrs, pair_cap=pair_cap,
-        chunk=chunk, normalize_depth=normalize_depth, backend=backend)
+        chunk=chunk, m=m, normalize_depth=normalize_depth, backend=backend)
 
     return {
         "render": out.image,

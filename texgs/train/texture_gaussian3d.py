@@ -1,0 +1,537 @@
+"""Stage-3 model: textured Gaussians (TextureGaussian3D) — the flagship.
+
+Functional JAX re-architecture of /root/reference/models/texture_gaussian3d.py:
+stage-1 Gaussians (trainable again) + stage-2 UV nets + a learnable
+(6, R, R, 3) cubemap texture in SH0 space + optional per-Gaussian residual
+SH (degrees >= 1; the DC term comes from the texture).
+
+Key idiomatic divergences (SURVEY.md §7):
+  * the per-iteration duv/dxyz Jacobian uses vmap(jacfwd) — three fused JVPs
+    of the tiny UV MLP — instead of the reference's
+    torch.autograd.functional.jacobian sum trick (:217-227);
+  * the three Adams (gaussian / uv / tex, :100-143) are three functional
+    optimizer states stepped inside one jitted train step, range-gating
+    applied with traced booleans (no recompiles);
+  * losses (:315-418): photometric L1+DSSIM, alpha/depth/norm/norm-reg/
+    smooth/opacity-reg, the no-SH photometric pass (a second rasterization
+    with active_sh_degree=0) and the inverse-consistency cycle loss.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from texgs import losses
+from texgs.config import Cfg, in_range
+from texgs.core.camera import Camera
+from texgs.kernels.cubemap import cubemap_to_latlong
+from texgs.nets.uv_net import (apply_inv_uv_net, apply_uv_net,
+                               init_inv_uv_net, init_uv_net)
+from texgs.render.uv_tex_render import uv_tex_render
+from texgs.train import optim
+from texgs.train.uv_map_gaussian3d import depth2world
+from texgs.utils.schedules import expon_lr, warmup_multistep
+from texgs.utils.sh import C0
+
+
+def rgb2sh0(rgb):
+    return (rgb - 0.5) / C0
+
+
+def sh02rgb(sh0):
+    return jnp.clip(C0 * sh0 + 0.5, 0.0, 1.0)
+
+
+class TextureGaussian3D:
+    """Driver-facing API parity with the reference model."""
+
+    def __init__(self, cfg: Cfg, log, work_dir: str, debug: bool = False):
+        self.cfg = cfg
+        self.log = log
+        self.debug = debug
+        self.active_sh_degree = 0
+        self.max_sh_degree = int(cfg.tex_cfg.max_sh_degree)
+        self.tex_res = int(cfg.tex_cfg.resolution)
+
+        key = jax.random.PRNGKey(int(cfg.get_or("seed", 2)))
+        k1, k2, k3, self._rng = jax.random.split(key, 4)
+        self.uv_params = {
+            "uv_net": init_uv_net(k1, cfg.uv_net_cfg),
+            "inv_uv_net": init_inv_uv_net(k2, cfg.inv_uv_net_cfg),
+            "geo_emb": jax.random.normal(k3, (int(cfg.geo_emb_dim),)),
+        }
+        self.gauss_params = None   # dict: xyz, opacity, scaling, rotation, shs
+        self.tex_params = {"texture": jnp.zeros(
+            (6, self.tex_res, self.tex_res, 3), jnp.float32)}
+        self.n_alive = None
+
+        self.adam_g = self.adam_uv = self.adam_tex = None
+        self.optim_cfg: Optional[Cfg] = None
+        self.spatial_lr_scale = 0.0
+        self._bg = jnp.zeros(3)
+        self._train_cfg = None
+        self._uv_step_count = 0
+        self._eval_cache = None
+
+    # ------------------------------------------------------------- setup
+    def bind_train_cfg(self, train_cfg: Cfg, bg):
+        self._train_cfg = train_cfg
+        self._bg = jnp.asarray(bg, jnp.float32)
+
+    def initialize(self, pcd_unused, spatial_lr_scale: float):
+        from texgs.io import checkpoint as ckpt
+        self.spatial_lr_scale = float(spatial_lr_scale)
+        sd, _ = ckpt.load(self.cfg.init_from)
+        p = sd["params"]
+        self.n_alive = jnp.asarray(p["n_alive"], jnp.int32)
+        n_cap = p["xyz"].shape[0]
+        self.gauss_params = {
+            "xyz": jnp.asarray(p["xyz"]),
+            "opacity": jnp.asarray(p["opacity"]),
+            "scaling": jnp.asarray(p["scaling"]),
+            "rotation": jnp.asarray(p["rotation"]),
+        }
+        if self.max_sh_degree > 0:
+            n_rest = (self.max_sh_degree + 1) ** 2 - 1
+            self.gauss_params["shs"] = jnp.zeros((n_cap, n_rest, 3))
+        self.log.info(f"Number of points at initialisation : {int(self.n_alive)}")
+
+        sd2, _ = ckpt.load(self.cfg.init_uv_map_from)
+        self.uv_params = jax.tree.map(jnp.asarray, sd2["net_state"])
+
+    def setup_optim(self, optim_cfg: Cfg):
+        self.optim_cfg = optim_cfg
+        self.adam_g = optim.init(self.gauss_params)
+        self.adam_uv = optim.init(self.uv_params)
+        self.adam_tex = optim.init(self.tex_params)
+        self.xyz_lr_fn = expon_lr(
+            lr_init=optim_cfg.position_lr_init * self.spatial_lr_scale,
+            lr_final=optim_cfg.position_lr_final * self.spatial_lr_scale,
+            lr_delay_mult=optim_cfg.position_lr_delay_mult,
+            max_steps=optim_cfg.position_lr_max_steps)
+        self.uv_lr_fn = warmup_multistep(optim_cfg.uv_net_lr,
+                                         optim_cfg.uv_net_milestones,
+                                         optim_cfg.uv_net_gamma)
+        self.inv_uv_lr_fn = warmup_multistep(optim_cfg.inv_uv_net_lr,
+                                             optim_cfg.uv_net_milestones,
+                                             optim_cfg.uv_net_gamma)
+
+    # ----------------------------------------------------------- helpers
+    def _gauss_range_start(self) -> int:
+        r = self.optim_cfg.gaussian_optim_range
+        return int(r[0]) if r and r[0] is not None else 0
+
+    def _activated(self, gp):
+        alive = (jnp.arange(gp["xyz"].shape[0]) < self.n_alive)
+        rot = gp["rotation"] / (jnp.linalg.norm(
+            gp["rotation"], axis=-1, keepdims=True) + 1e-12)
+        op = jax.nn.sigmoid(gp["opacity"]) * alive[:, None]
+        return dict(xyz=gp["xyz"], scaling=jnp.exp(gp["scaling"]),
+                    rotation=rot, opacity=op,
+                    shs=gp.get("shs"))
+
+    def _uvs_and_jac(self, uv_params, xyz):
+        geo_emb = uv_params["geo_emb"]
+        uvs = apply_uv_net(uv_params["uv_net"], self.cfg.uv_net_cfg, xyz,
+                           geo_emb)
+        xyz_d = jax.lax.stop_gradient(xyz)
+        nets_d = jax.lax.stop_gradient(uv_params)
+
+        def f(p):
+            return apply_uv_net(nets_d["uv_net"], self.cfg.uv_net_cfg,
+                                p[None, :], nets_d["geo_emb"])[0]
+
+        jac = jax.vmap(jax.jacfwd(f))(xyz_d)  # (N, 3, 3) duv/dxyz
+        return uvs, jax.lax.stop_gradient(jac.reshape(-1, 9))
+
+    # ------------------------------------------------------ jitted core
+    @functools.partial(jax.jit, static_argnames=("self", "flags",
+                                                 "active_sh_degree",
+                                                 "n_inv_points"))
+    def _train_step(self, gauss_params, uv_params, tex_params,
+                    adam_g, adam_uv, adam_tex, camera: Camera, key,
+                    lrs, lambdas, apply_flags, flags: tuple,
+                    active_sh_degree: int, n_inv_points: int):
+        (use_rgb, use_alpha, use_depth, use_norm, use_norm_reg,
+         use_norm_smooth, use_opacity_reg, use_no_sh, use_inverse) = flags
+        apply_g, apply_uv, apply_tex = apply_flags
+
+        gt_image = camera.image
+        if camera.alpha_mask is not None:
+            gt_alpha = camera.alpha_mask
+        else:
+            gt_alpha = jnp.ones((1,) + gt_image.shape[1:], gt_image.dtype)
+
+        def loss_fn(gp, up, tp):
+            act = self._activated(gp)
+            uvs, jac = self._uvs_and_jac(up, gp["xyz"])
+
+            def do_render(deg):
+                return uv_tex_render(
+                    camera, xyz=act["xyz"], opacity=act["opacity"],
+                    scaling=act["scaling"], rotation=act["rotation"],
+                    uvs=uvs, grad_uvs=jac, texture=tp["texture"],
+                    shs=act["shs"], active_sh_degree=deg,
+                    bg_color=lambdas["bg"],
+                    m=int(self.cfg.get_or("uvtex_m", 32)),
+                    backend=self.cfg.get_or("backend", "auto"))
+
+            out = do_render(active_sh_degree)
+            image, depth = out["render"], out["depth"]
+            norm, alpha = out["norm"], out["alpha"]
+
+            loss = 0.0
+            stats = {}
+            if use_rgb:
+                ll1 = losses.l1_loss(image, gt_image)
+                lssim = 1.0 - losses.ssim_loss(image, gt_image)
+                loss = loss + ((1.0 - lambdas["dssim"]) * ll1
+                               + lambdas["dssim"] * lssim)
+                stats.update(Ll1=ll1, Lssim=lssim)
+            if use_alpha:
+                la = losses.l1_loss(alpha, gt_alpha)
+                loss = loss + lambdas["alpha"] * la
+                stats["Lalpha"] = la
+            if use_depth:
+                ld = losses.l1_loss(depth, camera.depth)
+                loss = loss + lambdas["depth"] * ld
+                stats["Ldepth"] = ld
+            if use_norm:
+                ln = losses.norm_loss(norm, camera.normal, gt_alpha)
+                loss = loss + lambdas["norm"] * ln
+                stats["Lnorm"] = ln
+            if use_norm_reg:
+                lnr = losses.norm_reg_loss(norm, depth, camera.tanfovx,
+                                           camera.tanfovy, camera.world_view,
+                                           gt_alpha)
+                loss = loss + lambdas["norm_reg"] * lnr
+                stats["Lnorm_reg"] = lnr
+            if use_norm_smooth:
+                lns = losses.smooth_loss(gt_image, norm, gt_alpha)
+                loss = loss + lambdas["norm_smooth"] * lns
+                stats["Lnorm_smooth"] = lns
+            if use_opacity_reg:
+                lor = losses.zero_one_loss(act["opacity"])
+                loss = loss + lambdas["opacity_reg"] * lor
+                stats["Lopacity_reg"] = lor
+            if use_no_sh:
+                image_ns = do_render(0)["render"]
+                ll1 = losses.l1_loss(image_ns, gt_image)
+                lssim = 1.0 - losses.ssim_loss(image_ns, gt_image)
+                loss = loss + lambdas["no_sh"] * (
+                    (1.0 - lambdas["dssim"]) * ll1 + lambdas["dssim"] * lssim)
+                stats.update(Ll1_nosh=ll1, Lssim_nosh=lssim)
+            if use_inverse:
+                geo_emb = up["geo_emb"]
+                world = depth2world(jax.lax.stop_gradient(depth[0]),
+                                    camera.full_proj, camera.zfar,
+                                    camera.znear).reshape(-1, 3)
+                wmask = (jax.lax.stop_gradient(alpha).reshape(-1) > 0.5
+                         ).astype(jnp.float32)
+                if n_inv_points and n_inv_points < world.shape[0]:
+                    score = jax.random.uniform(key, (world.shape[0],))
+                    score = jnp.where(wmask > 0, score, -1.0)
+                    _, sel = jax.lax.top_k(score, n_inv_points)
+                    world = world[sel]
+                    wmask = wmask[sel]
+                uv = apply_uv_net(up["uv_net"], self.cfg.uv_net_cfg, world,
+                                  geo_emb)
+                inv = apply_inv_uv_net(up["inv_uv_net"],
+                                       self.cfg.inv_uv_net_cfg, uv, geo_emb)
+                err = ((world - inv) ** 2).sum(-1)
+                linv = (err * wmask).sum() / (wmask.sum() + 1e-6)
+                loss = loss + lambdas["inverse"] * linv
+                stats["Linv"] = linv
+
+            stats["total_loss"] = loss
+            return loss, stats
+
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                gauss_params, uv_params, tex_params)
+        g_g, g_uv, g_tex = grads
+
+        def gated(new, old, flag):
+            return jax.tree.map(lambda a, b: jnp.where(flag, a, b), new, old)
+
+        g_lrs = {"xyz": lrs["xyz"], "opacity": lrs["opacity"],
+                 "scaling": lrs["scaling"], "rotation": lrs["rotation"]}
+        if "shs" in gauss_params:
+            g_lrs["shs"] = lrs["shs"]
+        new_g, new_adam_g = optim.update(gauss_params, g_g, adam_g, g_lrs)
+        gauss_params = gated(new_g, gauss_params, apply_g)
+        adam_g = gated(new_adam_g, adam_g, apply_g)
+
+        uv_lrs = {"uv_net": jax.tree.map(lambda _: lrs["uv_net"],
+                                         uv_params["uv_net"]),
+                  "inv_uv_net": jax.tree.map(lambda _: lrs["inv_uv_net"],
+                                             uv_params["inv_uv_net"]),
+                  "geo_emb": lrs["uv_net"]}
+        new_uv, new_adam_uv = optim.update(uv_params, g_uv, adam_uv, uv_lrs)
+        uv_params = gated(new_uv, uv_params, apply_uv)
+        adam_uv = gated(new_adam_uv, adam_uv, apply_uv)
+
+        new_tex, new_adam_tex = optim.update(tex_params, g_tex, adam_tex,
+                                             {"texture": lrs["tex"]})
+        tex_params = gated(new_tex, tex_params, apply_tex)
+        adam_tex = gated(new_adam_tex, adam_tex, apply_tex)
+
+        return (gauss_params, uv_params, tex_params, adam_g, adam_uv,
+                adam_tex, loss, stats)
+
+    # -------------------------------------------------------- driver API
+    def compute_loss(self, cur_iter: int, total_iter: int, viewpoint: Camera,
+                     render_unused, loss_cfg: Cfg):
+        lc = loss_cfg
+        oc = self.optim_cfg
+        flags = (
+            bool(lc.lambda_dssim) and in_range(cur_iter, lc.rgb_range),
+            bool(lc.lambda_alpha) and in_range(cur_iter, lc.alpha_range),
+            bool(lc.lambda_depth) and in_range(cur_iter, lc.depth_range)
+            and viewpoint.depth is not None,
+            bool(lc.lambda_norm) and in_range(cur_iter, lc.norm_range)
+            and viewpoint.normal is not None,
+            bool(lc.lambda_norm_reg) and in_range(cur_iter, lc.norm_reg_range),
+            bool(lc.lambda_norm_smooth)
+            and in_range(cur_iter, lc.norm_smooth_range),
+            bool(lc.lambda_opacity_reg)
+            and in_range(cur_iter, lc.opacity_reg_range),
+            bool(lc.lambda_no_sh) and in_range(cur_iter, lc.rgb_no_sh_range),
+            bool(lc.lambda_inverse) and in_range(cur_iter, lc.inverse_range),
+        )
+        lambdas = {
+            "bg": self._bg,
+            "dssim": jnp.float32(lc.get_or("lambda_dssim", 0.0)),
+            "alpha": jnp.float32(lc.get_or("lambda_alpha", 0.0)),
+            "depth": jnp.float32(lc.get_or("lambda_depth", 0.0)),
+            "norm": jnp.float32(lc.get_or("lambda_norm", 0.0)),
+            "norm_reg": jnp.float32(lc.get_or("lambda_norm_reg", 0.0)),
+            "norm_smooth": jnp.float32(lc.get_or("lambda_norm_smooth", 0.0)),
+            "opacity_reg": jnp.float32(lc.get_or("lambda_opacity_reg", 0.0)),
+            "no_sh": jnp.float32(lc.get_or("lambda_no_sh", 0.0)),
+            "inverse": jnp.float32(lc.get_or("lambda_inverse", 0.0)),
+        }
+
+        gauss_on = bool(oc.gaussian_optim_range) and in_range(
+            cur_iter, oc.gaussian_optim_range)
+        uv_on = bool(oc.uv_optim_range) and in_range(cur_iter, oc.uv_optim_range) \
+            if oc.uv_optim_range else True
+        tex_on = bool(oc.tex_optim_range) and in_range(
+            cur_iter, oc.tex_optim_range) if oc.tex_optim_range else True
+
+        g_iter = max(cur_iter - self._gauss_range_start(), 0)
+        tc = self._train_cfg
+        scaling_reset_iter = (
+            gauss_on and tc and tc.min_scale_reset_interval
+            and g_iter % int(tc.min_scale_reset_interval) == 0)
+
+        lrs = {
+            "xyz": jnp.float32(self.xyz_lr_fn(g_iter)),
+            "opacity": jnp.float32(oc.opacity_lr),
+            # scaling gets lr 0 on min-scale reset iterations (the reference
+            # recreates the tensor, losing its grad, texture_gaussian3d.py:421-427)
+            "scaling": jnp.float32(0.0 if scaling_reset_iter else oc.scaling_lr),
+            "rotation": jnp.float32(oc.rotation_lr),
+            "shs": jnp.float32(oc.tex_lr / 20.0),
+            "uv_net": jnp.float32(self.uv_lr_fn(self._uv_step_count)),
+            "inv_uv_net": jnp.float32(self.inv_uv_lr_fn(self._uv_step_count)),
+            "tex": jnp.float32(oc.tex_lr),
+        }
+        apply_flags = (jnp.asarray(gauss_on), jnp.asarray(uv_on),
+                       jnp.asarray(tex_on))
+
+        self._rng, key = jax.random.split(self._rng)
+        n_inv = int(self.cfg.get_or("max_inverse_points", 0))
+        (self.gauss_params, self.uv_params, self.tex_params, self.adam_g,
+         self.adam_uv, self.adam_tex, loss, stats) = self._train_step(
+            self.gauss_params, self.uv_params, self.tex_params,
+            self.adam_g, self.adam_uv, self.adam_tex, viewpoint, key,
+            lrs, lambdas, apply_flags, flags, self.active_sh_degree, n_inv)
+        self._eval_cache = None
+        return loss, stats, {}
+
+    def optimize_step(self, cur_iter: int, total_iter: int, train_cfg: Cfg,
+                      extra_info: dict):
+        oc = self.optim_cfg
+        tc = train_cfg
+        if oc.gaussian_optim_range and in_range(cur_iter, oc.gaussian_optim_range):
+            g_iter = cur_iter - self._gauss_range_start()
+            if tc.min_scale_reset_interval and \
+                    g_iter % int(tc.min_scale_reset_interval) == 0:
+                self._reset_min_scale()
+            if g_iter % 2000 == 0 and self.active_sh_degree < self.max_sh_degree:
+                self.active_sh_degree += 1
+        uv_on = in_range(cur_iter, oc.uv_optim_range) if oc.uv_optim_range else True
+        if uv_on:
+            self._uv_step_count += 1
+
+    def _reset_min_scale(self):
+        s = self.gauss_params["scaling"]
+        idx = jnp.argmin(s, axis=1)
+        onehot = jax.nn.one_hot(idx, 3, dtype=bool)
+        alive = (jnp.arange(s.shape[0]) < self.n_alive)[:, None]
+        self.gauss_params = dict(self.gauss_params,
+                                 scaling=jnp.where(onehot & alive, -20.0, s))
+        mu = dict(self.adam_g.mu)
+        nu = dict(self.adam_g.nu)
+        mu["scaling"] = jnp.zeros_like(mu["scaling"])
+        nu["scaling"] = jnp.zeros_like(nu["scaling"])
+        self.adam_g = optim.AdamState(mu=mu, nu=nu, count=self.adam_g.count)
+
+    # ---------------------------------------------------------- eval path
+    @functools.partial(jax.jit, static_argnames=("self", "active_sh_degree"))
+    def _render_eval(self, gauss_params, uv_params, tex_params,
+                     camera: Camera, active_sh_degree: int):
+        act = self._activated(gauss_params)
+        uvs, jac = self._uvs_and_jac(uv_params, gauss_params["xyz"])
+        out = uv_tex_render(
+            camera, xyz=act["xyz"], opacity=act["opacity"],
+            scaling=act["scaling"], rotation=act["rotation"], uvs=uvs,
+            grad_uvs=jac, texture=tex_params["texture"], shs=act["shs"],
+            active_sh_degree=active_sh_degree, bg_color=self._bg,
+            m=int(self.cfg.get_or("uvtex_m", 32)),
+            backend=self.cfg.get_or("backend", "auto"))
+        out_ns = uv_tex_render(
+            camera, xyz=act["xyz"], opacity=act["opacity"],
+            scaling=act["scaling"], rotation=act["rotation"], uvs=uvs,
+            grad_uvs=jac, texture=tex_params["texture"], shs=act["shs"],
+            active_sh_degree=0, bg_color=self._bg,
+            m=int(self.cfg.get_or("uvtex_m", 32)),
+            backend=self.cfg.get_or("backend", "auto"))
+        return out, out_ns["render"]
+
+    def visual_step(self, cur_iter: int, total_iter: int, viewpoint: Camera,
+                    render_unused):
+        out, image_no_sh = self._render_eval(
+            self.gauss_params, self.uv_params, self.tex_params, viewpoint,
+            self.active_sh_degree)
+        envmap = self.sphere_map((512, 1024)).transpose(2, 0, 1)
+        cubemap = np.asarray(self.cube_map()).transpose(2, 0, 1)
+        return dict(image=out["render"], image_no_sh=image_no_sh,
+                    depth=out["depth"], norm=out["norm"], alpha=out["alpha"],
+                    envmap=envmap, cubemap=cubemap)
+
+    @property
+    def n_points(self) -> int:
+        return int(self.n_alive)
+
+    # ----------------------------------------------------- texture tools
+    def sphere_map(self, resolution=(512, 1024)):
+        rgb = sh02rgb(self.tex_params["texture"])
+        return np.asarray(cubemap_to_latlong(rgb, resolution))
+
+    def cube_map(self) -> jnp.ndarray:
+        """Cross-layout (3R, 4R, 3) rgb image
+        (texture_gaussian3d.py:451-461 layout)."""
+        rgb = sh02rgb(self.tex_params["texture"])
+        res = self.tex_res
+        out = jnp.zeros((3 * res, 4 * res, 3), rgb.dtype)
+        out = out.at[0:res, res:2 * res].set(rgb[2])
+        out = out.at[res:2 * res, 0:res].set(rgb[1])
+        out = out.at[res:2 * res, res:2 * res].set(rgb[4])
+        out = out.at[res:2 * res, 2 * res:3 * res].set(rgb[0])
+        out = out.at[res:2 * res, 3 * res:4 * res].set(rgb[5])
+        out = out.at[2 * res:3 * res, res:2 * res].set(rgb[3])
+        return out
+
+    def change_texture(self, cubemap_image: np.ndarray, mode: int = 0):
+        """Texture swap with blend modes (texture_gaussian3d.py:463-495).
+
+        cubemap_image: (3R, 4R, 3) rgb cross layout in [0, 1].
+        mode -1: replace; 0: luminance-modulated; 1: multiply; 2: divide;
+        3: masked additive blend.
+        """
+        res = cubemap_image.shape[0] // 3
+        assert cubemap_image.shape == (3 * res, 4 * res, 3)
+        img = jnp.asarray(cubemap_image, jnp.float32)
+        faces = [
+            img[res:2 * res, 2 * res:3 * res],
+            img[res:2 * res, 0:res],
+            img[0:res, res:2 * res],
+            img[2 * res:3 * res, res:2 * res],
+            img[res:2 * res, res:2 * res],
+            img[res:2 * res, 3 * res:4 * res],
+        ]
+        new_tex = jnp.stack(faces, axis=0)
+        ori_tex = sh02rgb(self.tex_params["texture"])
+        assert ori_tex.shape == new_tex.shape, (
+            f"texture resolution mismatch: {ori_tex.shape} vs {new_tex.shape}")
+        if mode == -1:
+            pass
+        elif mode == 0:
+            ori = jnp.clip(ori_tex * 3, 0, 1)
+            new_tex = new_tex * ori.mean(axis=-1, keepdims=True)
+        elif mode == 1:
+            new_tex = new_tex * ori_tex
+        elif mode == 2:
+            new_tex = ori_tex / jnp.maximum(new_tex, 1e-6)
+        elif mode == 3:
+            mask = (new_tex.sum(-1) > 0.01)[..., None]
+            blended = 2 * ori_tex.mean(-1, keepdims=True) * new_tex
+            new_tex = new_tex + jnp.where(mask, blended, ori_tex)
+        self.tex_params = {"texture": rgb2sh0(new_tex)}
+
+    def save_point_cloud(self, path: str):
+        from texgs.io.ply import write_ply_xyz
+        xyz = np.asarray(self.gauss_params["xyz"])[: self.n_points]
+        write_ply_xyz(path, xyz)
+
+    # --------------------------------------------------------------- io
+    def state_dict(self) -> dict:
+        def np_tree(t):
+            return jax.tree.map(np.asarray, t)
+
+        return dict(
+            hyperparams=dict(active_sh_degree=self.active_sh_degree,
+                             spatial_lr_scale=self.spatial_lr_scale,
+                             uv_step_count=self._uv_step_count),
+            params={**{k: np.asarray(v) for k, v in self.gauss_params.items()},
+                    "texture": np.asarray(self.tex_params["texture"]),
+                    "n_alive": np.asarray(self.n_alive)},
+            net_state=np_tree(self.uv_params),
+            optim_state=dict(
+                gauss=dict(mu=np_tree(self.adam_g.mu),
+                           nu=np_tree(self.adam_g.nu),
+                           count=np_tree(self.adam_g.count)),
+                uv=dict(mu=np_tree(self.adam_uv.mu),
+                        nu=np_tree(self.adam_uv.nu),
+                        count=np_tree(self.adam_uv.count)),
+                tex=dict(mu=np_tree(self.adam_tex.mu),
+                         nu=np_tree(self.adam_tex.nu),
+                         count=np_tree(self.adam_tex.count)),
+            ),
+        )
+
+    def load_state_dict(self, sd: dict, optim_cfg: Cfg):
+        hp = sd["hyperparams"]
+        self.active_sh_degree = int(hp["active_sh_degree"])
+        self.spatial_lr_scale = float(hp["spatial_lr_scale"])
+        self._uv_step_count = int(hp["uv_step_count"])
+        p = sd["params"]
+        self.n_alive = jnp.asarray(p["n_alive"], jnp.int32)
+        self.gauss_params = {k: jnp.asarray(p[k]) for k in
+                             ("xyz", "opacity", "scaling", "rotation")}
+        if "shs" in p:
+            self.gauss_params["shs"] = jnp.asarray(p["shs"])
+        self.tex_params = {"texture": jnp.asarray(p["texture"])}
+        self.uv_params = jax.tree.map(jnp.asarray, sd["net_state"])
+        self.setup_optim(optim_cfg)
+
+        def jnp_tree(t):
+            return jax.tree.map(jnp.asarray, t)
+
+        os_ = sd["optim_state"]
+        self.adam_g = optim.AdamState(mu=jnp_tree(os_["gauss"]["mu"]),
+                                      nu=jnp_tree(os_["gauss"]["nu"]),
+                                      count=jnp_tree(os_["gauss"]["count"]))
+        self.adam_uv = optim.AdamState(mu=jnp_tree(os_["uv"]["mu"]),
+                                       nu=jnp_tree(os_["uv"]["nu"]),
+                                       count=jnp_tree(os_["uv"]["count"]))
+        self.adam_tex = optim.AdamState(mu=jnp_tree(os_["tex"]["mu"]),
+                                        nu=jnp_tree(os_["tex"]["nu"]),
+                                        count=jnp_tree(os_["tex"]["count"]))

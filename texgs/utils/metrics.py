@@ -47,16 +47,19 @@ _lpips_model = None
 
 
 def lpips(img1, img2):
-    """LPIPS (VGG) if torch+torchvision are importable, else None."""
+    """LPIPS (VGG), optional: requires the `lpips` package and pretrained
+    weights, neither of which ship in a zero-egress environment.  Returns
+    None when unavailable — same graceful degradation as the reference's
+    lazy import (/root/reference/utils/metrics.py:49-58)."""
     global _lpips_model
     try:
+        import lpips as lpips_pkg
         import torch
         if _lpips_model is None:
-            from texgs.utils._lpips_vgg import LPIPSVgg
-            _lpips_model = LPIPSVgg()
+            _lpips_model = lpips_pkg.LPIPS(net="vgg")
         with torch.no_grad():
-            a = torch.from_numpy(np.asarray(img1, np.float32))[None]
-            b = torch.from_numpy(np.asarray(img2, np.float32))[None]
+            a = torch.from_numpy(np.asarray(img1, np.float32))[None] * 2 - 1
+            b = torch.from_numpy(np.asarray(img2, np.float32))[None] * 2 - 1
             return float(_lpips_model(a, b))
     except Exception:
         return None
