@@ -144,3 +144,34 @@ def test_uvtex_texture_drives_image():
     m = np.asarray(out1.alpha)[0] > 0.9
     assert (np.asarray(out1.image)[:, m].mean()
             > np.asarray(out2.image)[:, m].mean() + 0.1)
+
+
+def test_uvtex_pallas_matches_scan():
+    state, cam, uvs, jac, shs, tex = _scene(n=256, size=32)
+    ref = _run(state, cam, uvs, jac, shs, tex, "scan")
+    got = _run(state, cam, uvs, jac, shs, tex, "pallas")
+    assert_close_mostly(got.image, ref.image, atol=1e-4, frac=0.995,
+                        hard_atol=3e-2, name="image")
+    assert_close_mostly(got.alpha, ref.alpha, atol=3e-5, name="alpha")
+
+
+def test_uvtex_pallas_grads_match_scan():
+    state, cam, uvs, jac, shs, tex = _scene(n=192, size=32)
+    target = jnp.zeros((3, cam.height, cam.width))
+
+    def make_loss(backend):
+        def f(xyz, uvs_, tex_, shs_, scaling_raw):
+            st = state.replace(xyz=xyz, scaling=scaling_raw)
+            out = _run(st, cam, uvs_, jac, shs_, tex_, backend)
+            return jnp.abs(out.image - target).mean()
+        return f
+
+    args = (state.xyz, uvs, tex, shs, state.scaling)
+    g_ref = jax.grad(make_loss("scan"), argnums=(0, 1, 2, 3, 4))(*args)
+    g_pal = jax.grad(make_loss("pallas"), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b, name in zip(g_ref, g_pal,
+                          ["xyz", "uvs", "texture", "shs", "scaling"]):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / denom, a / denom, atol=2e-3,
+                                   err_msg=f"grad mismatch: {name}")

@@ -59,11 +59,21 @@ def face_uv_to_direction(face: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
         dirs, face[None, ..., None].repeat(3, axis=-1), axis=0)[0]
 
 
-def sample_cubemap(texture: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear cubemap fetch.  texture: (6, R, R, 3); dirs: (N, 3) any
-    norm.  Returns (N, 3).  Differentiable in texture and dirs."""
+def sample_cubemap(texture: jnp.ndarray, dirs: jnp.ndarray,
+                   filter_mode: str = "bilinear") -> jnp.ndarray:
+    """Cubemap fetch.  texture: (6, R, R, 3); dirs: (N, 3) any norm.
+    Returns (N, 3).  Differentiable in texture and dirs.
+
+    filter_mode 'bilinear' (parity, 4 taps) or 'nearest' (1 tap — 4x fewer
+    random accesses; on TPU the fetch is latency-bound, so stage-3 training
+    can opt into it via tex_cfg.filter_mode)."""
     res = texture.shape[1]
     face, u, v = direction_to_face_uv(dirs)
+
+    if filter_mode == "nearest":
+        xi = jnp.clip(((u * 0.5 + 0.5) * res).astype(jnp.int32), 0, res - 1)
+        yi = jnp.clip(((v * 0.5 + 0.5) * res).astype(jnp.int32), 0, res - 1)
+        return texture[face, yi, xi]
 
     fu = (u * 0.5 + 0.5) * res - 0.5
     fv = (v * 0.5 + 0.5) * res - 0.5

@@ -302,22 +302,25 @@ def mlist_scan(attrs: jnp.ndarray, uv_rows: jnp.ndarray, pairs: PairList,
 
 
 def build_uv_rows(tables: UVTexTables, pairs: PairList) -> jnp.ndarray:
-    """Gather per-pair uvtex rows (cap, 21)."""
+    """Gather per-pair uvtex rows (cap, 24): [sv(3), siginv(6), base_uv(3),
+    J(9), pad(3)] — padded to a multiple of 8 for the Pallas block layout."""
     g = jnp.clip(pairs.pair_gauss, 0, tables.sv.shape[0] - 1)
+    n = tables.sv.shape[0]
     full = jnp.concatenate([
         tables.sv, tables.siginv, tables.base_uv,
-        tables.jmat.reshape(-1, 9)], axis=1)  # (N, 21)
+        tables.jmat.reshape(-1, 9), jnp.zeros((n, 3))], axis=1)  # (N, 24)
     return full[g]
 
 
 def mlist_tex_term(mlist: jnp.ndarray, texture: jnp.ndarray,
-                   height: int, width: int) -> jnp.ndarray:
+                   height: int, width: int,
+                   filter_mode: str = "bilinear") -> jnp.ndarray:
     """(T, PIX, M, 4) lists -> (3, H, W) texture color term (SH0 * C0)."""
     gy, gx = grid_shape(height, width)
     t, pix, m, _ = mlist.shape
     w = mlist[..., 0]
     uv = mlist[..., 1:4].reshape(-1, 3)
-    tex = sample_cubemap(texture, uv).reshape(t, pix, m, 3)
+    tex = sample_cubemap(texture, uv, filter_mode).reshape(t, pix, m, 3)
     term = C0 * (w[..., None] * tex).sum(axis=2)        # (T, PIX, 3)
     img = term.reshape(gy, gx, TILE, TILE, 3)
     img = img.transpose(4, 0, 2, 1, 3).reshape(3, gy * TILE, gx * TILE)
@@ -331,6 +334,7 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
                     camera: Camera, bg: jnp.ndarray, extra_attrs=None,
                     pair_cap: Optional[int] = None, chunk: int = 128,
                     m: int = 32, normalize_depth: bool = True,
+                    filter_mode: str = "bilinear",
                     backend: str = "auto") -> RasterOutput:
     """Full UV-texture rasterization.
 
@@ -377,8 +381,12 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
                           normalize_depth)
 
     uv_rows = build_uv_rows(tables, pairs)
-    mlist = mlist_scan(attrs, uv_rows, pairs, camera, chunk, m)
-    tex_img = mlist_tex_term(mlist, texture, height, width)
+    if backend == "pallas":
+        from texgs.kernels.pallas_uvtex import mlist_pallas
+        mlist = mlist_pallas(attrs, uv_rows.T, pairs, camera, chunk, m)
+    else:
+        mlist = mlist_scan(attrs, uv_rows, pairs, camera, chunk, m)
+    tex_img = mlist_tex_term(mlist, texture, height, width, filter_mode)
 
     return RasterOutput(image=base.image + tex_img, depth=base.depth,
                         norm=base.norm, alpha=base.alpha, extra=base.extra)

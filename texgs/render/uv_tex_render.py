@@ -33,6 +33,7 @@ def uv_tex_render(viewpoint_camera: Camera, *,
                   pair_cap: Optional[int] = None,
                   chunk: int = 128,
                   m: int = 32,
+                  filter_mode: str = "bilinear",
                   normalize_depth: bool = True) -> dict:
     """Render one view with per-intersection UV-mapped cubemap appearance.
 
@@ -57,7 +58,8 @@ def uv_tex_render(viewpoint_camera: Camera, *,
         proj, scaling * scaling_modifier, rotation, xyz,
         uvs, grad_uvs, texture, shs, active_sh_degree,
         cam, bg_color, extra_attrs=extra_attrs, pair_cap=pair_cap,
-        chunk=chunk, m=m, normalize_depth=normalize_depth, backend=backend)
+        chunk=chunk, m=m, filter_mode=filter_mode,
+        normalize_depth=normalize_depth, backend=backend)
 
     return {
         "render": out.image,

@@ -179,6 +179,8 @@ class TextureGaussian3D:
                     shs=act["shs"], active_sh_degree=deg,
                     bg_color=lambdas["bg"],
                     m=int(self.cfg.get_or("uvtex_m", 32)),
+                    filter_mode=self.cfg.tex_cfg.get_or(
+                        "filter_mode", "bilinear"),
                     backend=self.cfg.get_or("backend", "auto"))
 
             out = do_render(active_sh_degree)
@@ -395,6 +397,7 @@ class TextureGaussian3D:
             grad_uvs=jac, texture=tex_params["texture"], shs=act["shs"],
             active_sh_degree=active_sh_degree, bg_color=self._bg,
             m=int(self.cfg.get_or("uvtex_m", 32)),
+            filter_mode=self.cfg.tex_cfg.get_or("filter_mode", "bilinear"),
             backend=self.cfg.get_or("backend", "auto"))
         out_ns = uv_tex_render(
             camera, xyz=act["xyz"], opacity=act["opacity"],
@@ -402,6 +405,7 @@ class TextureGaussian3D:
             grad_uvs=jac, texture=tex_params["texture"], shs=act["shs"],
             active_sh_degree=0, bg_color=self._bg,
             m=int(self.cfg.get_or("uvtex_m", 32)),
+            filter_mode=self.cfg.tex_cfg.get_or("filter_mode", "bilinear"),
             backend=self.cfg.get_or("backend", "auto"))
         return out, out_ns["render"]
 
