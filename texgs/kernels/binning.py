@@ -143,28 +143,32 @@ def build_pairs(means2d: jnp.ndarray, depths: jnp.ndarray, radii: jnp.ndarray,
     pc = -(-counts // chunk) * chunk
     padded_starts = jnp.cumsum(pc) - pc
     cap = padded_cap(pair_cap, height, width, chunk)
-
-    # Per-tile [shift, count] table: src = slot + shift[tile]; one gather.
-    t_table = jnp.stack([starts - padded_starts, counts, padded_starts],
-                        axis=1)  # (n_tiles, 3)
-
-    pslots = jnp.arange(cap, dtype=jnp.int32)
-    pt = jnp.clip(_interval_index(padded_starts, cap), 0, n_tiles - 1)
-    trows = t_table[pt]  # (cap, 3) row-gather
-    in_tile = pslots - trows[:, 2]
-    pvalid = in_tile < trows[:, 1]
-    src = jnp.clip(pslots + trows[:, 0], 0, pair_cap - 1)
-    pair_gauss = jnp.where(pvalid, sorted_g[src], -1)
-    pair_tile = jnp.where(pvalid, pt, n_tiles)
-
-    # Per-chunk metadata.
     n_chunks = cap // chunk
+
+    # Chunks never straddle tiles, so every per-slot map is constant within
+    # a chunk: resolve tile / shift / count at CHUNK granularity (a few
+    # thousand entries) and broadcast — the only slot-level op left is the
+    # one unavoidable source gather.
     cstart = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     ct = jnp.searchsorted(padded_starts, cstart, side="right").astype(jnp.int32) - 1
     ct = jnp.clip(ct, 0, n_tiles - 1)
     chunk_live = cstart < padded_starts[ct] + pc[ct]
     chunk_tile = jnp.where(chunk_live, ct, -1)
     chunk_first = chunk_live & (cstart == padded_starts[ct])
+
+    t_table = jnp.stack([starts - padded_starts, counts + padded_starts],
+                        axis=1)  # (n_tiles, 2): [src shift, valid end]
+    trows_c = t_table[ct]  # (n_chunks, 2) tiny row-gather
+
+    def bcast(col):
+        # broadcast+reshape, NOT jnp.repeat (which lowers to a gather)
+        return jnp.broadcast_to(col[:, None], (n_chunks, chunk)).reshape(cap)
+
+    pslots = jnp.arange(cap, dtype=jnp.int32)
+    pvalid = (pslots < bcast(trows_c[:, 1])) & bcast(chunk_live)
+    src = jnp.clip(pslots + bcast(trows_c[:, 0]), 0, pair_cap - 1)
+    pair_gauss = jnp.where(pvalid, sorted_g[src], -1)
+    pair_tile = jnp.where(pvalid, bcast(ct), n_tiles)
 
     return PairList(
         pair_gauss=pair_gauss,

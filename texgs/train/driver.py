@@ -88,6 +88,12 @@ def visualize(tb_writer, iteration, end_iteration, model, scene, log,
                                      v, iteration)
     if tb_writer and hasattr(model, "n_points"):
         tb_writer.add_scalar("total_points", model.n_points, iteration)
+        if hasattr(model, "get_opacity_np"):
+            try:
+                tb_writer.add_histogram("scene/opacity_histogram",
+                                        model.get_opacity_np(), iteration)
+            except Exception:
+                pass
     return results
 
 
