@@ -33,20 +33,13 @@ BACKEND = os.environ.get("BENCH_BACKEND", "")  # default: best available
 BASELINE_RAYS_PER_S = 12.0 * 800 * 600  # ~5.8e6, see module docstring
 
 
-def main():
+def _run_bench(backend):
     import jax
     import jax.numpy as jnp
 
     from texgs.core.state import init_from_pcd
     from texgs.data.synthetic import blob_point_cloud, orbit_cameras
     from texgs.render import render
-
-    backend = BACKEND or ("pallas" if jax.default_backend() == "tpu" else "scan")
-    try:
-        if backend == "pallas":
-            from texgs.kernels import pallas_raster  # noqa: F401
-    except ImportError:
-        backend = "scan"
 
     pcd = blob_point_cloud(N_GAUSS, seed=0)
     state = init_from_pcd(pcd.points, pcd.colors, max_sh_degree=3)
@@ -82,12 +75,39 @@ def main():
     dt = time.time() - t0
 
     rays_per_s = ITERS * WIDTH * HEIGHT / dt
-    print(json.dumps({
+    return {
         "metric": f"rays_per_s_fwd_bwd_{backend}",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+    }
+
+
+def main():
+    # Always emit exactly one JSON line, degrading through backends if a
+    # compile/runtime failure occurs (e.g. no TPU available).
+    import traceback
+
+    import jax
+
+    default = BACKEND or ("pallas" if jax.default_backend() == "tpu"
+                          else "scan")
+    candidates = [default] + [b for b in ("scan",) if b != default]
+    last_err = None
+    for backend in candidates:
+        try:
+            print(json.dumps(_run_bench(backend)))
+            return
+        except Exception as e:  # noqa: BLE001 — must still emit a line
+            last_err = e
+            traceback.print_exc(file=sys.stderr)
+    print(json.dumps({
+        "metric": "rays_per_s_fwd_bwd_failed",
+        "value": 0.0,
+        "unit": "rays/s",
+        "vs_baseline": 0.0,
     }))
+    print(f"bench failed: {last_err}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -137,11 +137,20 @@ def train(cfg: Cfg, log, tb_writer=None, scene=None, model=None,
         else:
             viewpoint = pool.pop(random.randint(0, len(pool) - 1))
 
+        profile_dir = cfg.get_or("profile_dir", None)
+        if profile_dir and iteration == 100:
+            import jax
+            jax.profiler.start_trace(profile_dir)
         it_t0 = time.time()
         loss, loss_stats, extra = model.compute_loss(
             iteration, end_iteration, viewpoint, None, cfg.loss_cfg)
         loss_f = float(loss)
         it_time = time.time() - it_t0
+
+        if profile_dir and iteration == 110:
+            import jax
+            jax.profiler.stop_trace()
+            log.info(f"profiler trace written to {profile_dir}")
 
         ema_loss = 0.4 * loss_f + 0.6 * ema_loss
         if progress and iteration % 50 == 0:

@@ -24,6 +24,11 @@ def parse_args():
     parser.add_argument("--resume_from", type=str, default=None)
     parser.add_argument("--platform", type=str, default=None,
                         help="force jax platform (cpu/tpu)")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="global seed (safe_state analogue)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of iterations "
+                             "100-110 to this directory")
     return parser.parse_args()
 
 
@@ -42,7 +47,16 @@ def main():
     from texgs.train.driver import train, _tb_writer
     from texgs.utils.logger import get_logger
 
+    import random as _random
+
+    import numpy as _np
+
+    _random.seed(args.seed)
+    _np.random.seed(args.seed)
+
     cfg = load_config(args.config)
+    cfg.model_cfg.seed = args.seed
+    cfg.profile_dir = args.profile_dir
     run_name = args.run_name or os.path.splitext(os.path.basename(args.config))[0]
     cfg.work_dir = os.path.abspath(os.path.join(
         args.workspace, run_name, datetime.now().strftime("%Y-%m-%d_%H-%M-%S")))
