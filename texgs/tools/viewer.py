@@ -32,6 +32,7 @@ canvas{border:1px solid #444;cursor:grab}button{margin:2px}
   <button onclick="setMode('norm')">normal</button>
   scale <input id="scale" type="range" min="0.1" max="2.0" step="0.1"
     value="1.0" onchange="refresh()">
+  <button onclick="screenshot()">screenshot</button>
   <span id="stat"></span>
 </div>
 <canvas id="c" width="{W}" height="{H}"></canvas>
@@ -45,6 +46,10 @@ window.onmousemove=e=>{if(!drag)return;az+=(e.clientX-lx)*0.01;
   lx=e.clientX;ly=e.clientY;refresh();};
 c.onwheel=e=>{e.preventDefault();r=Math.max(0.5,r+e.deltaY*0.002);refresh();};
 function setMode(m){mode=m;refresh();}
+function screenshot(){
+  const a=document.createElement('a');
+  a.download='texgs_'+Date.now()+'.png';
+  a.href=c.toDataURL('image/png'); a.click();}
 async function refresh(){
   if(busy)return; busy=true;
   const s=document.getElementById('scale').value;
@@ -81,7 +86,11 @@ class ViewerState:
         cam = look_at_camera(eye, np.zeros(3), np.array([0.0, 0.0, 1.0]),
                              fovx, fovy, self.width, self.height)
         with self.lock:
-            pkg = self.model.visual_step(0, 0, cam, None)
+            try:
+                pkg = self.model.visual_step(0, 0, cam, None,
+                                             scaling_modifier=scale)
+            except TypeError:
+                pkg = self.model.visual_step(0, 0, cam, None)
         if mode == "depth":
             d = np.asarray(pkg["depth"][0])
             a = np.asarray(pkg["alpha"][0]) > 0.5

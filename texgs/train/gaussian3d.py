@@ -186,14 +186,17 @@ class Gaussian3D:
 
         return state, adam, stats, loss, stats_d
 
-    @functools.partial(jax.jit, static_argnames=("self", "active_sh_degree"))
+    @functools.partial(jax.jit, static_argnames=("self", "active_sh_degree",
+                                                 "scaling_modifier"))
     def _render_view(self, state: GaussianState, camera: Camera,
-                     bg, active_sh_degree: int):
+                     bg, active_sh_degree: int,
+                     scaling_modifier: float = 1.0):
         return render(camera, xyz=state.xyz, opacity=state.get_opacity(),
                       scaling=state.get_scaling(),
                       rotation=state.get_rotation(),
                       features=state.get_features(),
                       active_sh_degree=active_sh_degree, bg_color=bg,
+                      scaling_modifier=scaling_modifier,
                       backend=self.backend)
 
     # -------------------------------------------------------------- driver API
@@ -343,9 +346,10 @@ class Gaussian3D:
 
     # ---------------------------------------------------------------- eval/io
     def visual_step(self, cur_iter: int, total_iter: int, viewpoint: Camera,
-                    render_unused):
+                    render_unused, scaling_modifier: float = 1.0):
         out = self._render_view(self.state, viewpoint, self._bg,
-                                self.active_sh_degree)
+                                self.active_sh_degree,
+                                float(scaling_modifier))
         return dict(image=out["render"], depth=out["depth"],
                     norm=out["norm"], alpha=out["alpha"])
 
