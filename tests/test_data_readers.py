@@ -232,3 +232,46 @@ def test_resolution_cap(tmp_path, blender_scene):
 def _log():
     from texgs.utils.logger import get_logger
     return get_logger("texgs-test")
+
+
+def test_camera_uids_unique_across_splits(blender_scene, tmp_path):
+    """Regression: train/test uids must not collide (stage-2 caches by uid).
+
+    Reference assigns uids per split (loadCam enumerate), which is safe there
+    only because nothing keys on them; our stage-2 depth/alpha cache does."""
+    log = _log()
+    cfg = Cfg(dict(type="scene", data_root_dir=str(blender_scene), eval=True,
+                   background=[1, 1, 1], shuffle=False,
+                   resolution_scales=[1.0], resolution=1,
+                   save_init_pcd=False, save_cameras=False))
+    scene = Scene(cfg, log, str(tmp_path))
+    train_uids = {c.uid for c in scene.getTrainCameras()}
+    test_uids = {c.uid for c in scene.getTestCameras()}
+    assert not (train_uids & test_uids)
+    assert len(train_uids) == len(scene.getTrainCameras())
+    assert len(test_uids) == len(scene.getTestCameras())
+
+
+def test_stage2_depth_alpha_cache_keying():
+    """A train and a test camera that share a uid (legacy checkpoints /
+    hand-built cameras) must not alias in the stage-2 cache."""
+    from texgs.core.camera import make_camera
+    from texgs.train.uv_map_gaussian3d import UVMapGaussian3D
+
+    model = object.__new__(UVMapGaussian3D)
+    model._depth_alpha_cache = {}
+    model.gauss = None
+    calls = []
+    model._render_depth_alpha = lambda gauss, cam: calls.append(cam) or \
+        (cam.image_name, None, None, None)
+
+    def cam(uid, name):
+        return make_camera(R=np.eye(3), T=np.zeros(3), fovx=0.8, fovy=0.8,
+                           width=8, height=8, uid=uid, image_name=name)
+
+    a = cam(0, "train_0")
+    b = cam(0, "test_0")
+    assert model.depth_alpha(a)[0] == "train_0"
+    assert model.depth_alpha(b)[0] == "test_0"   # would alias pre-fix
+    assert model.depth_alpha(a)[0] == "train_0"  # still cached
+    assert len(calls) == 2

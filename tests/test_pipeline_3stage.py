@@ -182,6 +182,11 @@ def test_stage3_tools(stage3, workdir):
     for mode in ("rgb", "depth", "alpha", "norm"):
         frame = vs.render_frame(0.3, 0.2, 3.5, mode, 1.0)
         assert frame.shape == (48, 48, 3) and frame.dtype == np.uint8
+    # fov control (reference UI parity, viewer.py:155-199): a wider fov
+    # shrinks the object => fewer covered pixels
+    wide = vs.render_frame(0.3, 0.2, 3.5, "alpha", 1.0, fov_deg=100)
+    narrow = vs.render_frame(0.3, 0.2, 3.5, "alpha", 1.0, fov_deg=40)
+    assert (wide > 127).sum() < (narrow > 127).sum()
 
 
 def test_retexture_tool(stage3, workdir):

@@ -183,3 +183,52 @@ def test_padded_capacity_invariance():
                                atol=1e-6)
     t2 = rasterize_tiled(_project(s2, cam), 48, 48, jnp.zeros(3), chunk=64)
     assert_close_mostly(t2.image, o1.image, atol=2e-5, name="padded image")
+
+
+def test_pair_overflow_flag_and_recovery():
+    """VERDICT item 5: when true pairs exceed pair_cap the output flags
+    overflow; re-rendering at the controller's grown cap matches the oracle."""
+    from texgs.train.pair_cap import PairCapController
+
+    state, cams = _make_scene()
+    cam = cams[0]
+    proj = _project(state, cam)
+    oracle = rasterize_reference(proj, cam.height, cam.width, jnp.zeros(3))
+
+    tiny = rasterize_tiled(proj, cam.height, cam.width, jnp.zeros(3),
+                           pair_cap=128)
+    assert bool(tiny.overflowed)
+    n_true = int(tiny.n_pairs)
+    assert n_true > 128
+
+    ctrl = PairCapController(floor=256)
+    grown = ctrl.grow(n_true, default=128)
+    assert grown >= n_true
+    ok = rasterize_tiled(proj, cam.height, cam.width, jnp.zeros(3),
+                         pair_cap=grown)
+    assert not bool(ok.overflowed)
+    assert int(ok.n_pairs) == n_true
+    assert_close_mostly(ok.image, oracle.image, atol=1e-5,
+                        name="image after cap growth")
+
+
+def test_pair_cap_controller_schedule():
+    from texgs.train.pair_cap import PairCapController
+
+    c = PairCapController(slack=1.25, shrink_patience=3, floor=256)
+    assert c.current(4096) == 4096
+    # overflow grows to >= slack * true and at least doubles
+    c.grow(5000, default=4096)
+    assert c.cap >= 6250 and c.cap >= 8192
+    # calm observations eventually shrink
+    for _ in range(2):
+        assert not c.observe(300, default=4096)
+    assert c.observe(300, default=4096)      # patience reached -> shrink
+    assert c.cap == 512                       # next_pow2(375, floor=256)
+    # a busy observation resets patience
+    c2 = PairCapController(slack=1.25, shrink_patience=2, floor=256)
+    c2.cap = 1024
+    assert not c2.observe(100, default=1024)
+    assert not c2.observe(600, default=1024)  # busy -> reset
+    assert not c2.observe(100, default=1024)
+    assert c2.observe(100, default=1024)

@@ -77,3 +77,18 @@ def test_checkpoint_roundtrip(trained):
     out2 = model2.visual_step(150, 150, vp, None)
     np.testing.assert_allclose(np.asarray(out1["image"]),
                                np.asarray(out2["image"]), atol=1e-6)
+
+
+def test_pair_overflow_retry_in_train_step(trained):
+    """A too-small pair cap must be detected and the step re-run at a grown
+    cap within the same compute_loss call (exact functional retry)."""
+    cfg, model, scene, _ = trained
+    model.backend = "scan"      # the tiled path (auto picks dense on CPU)
+    model._pair_caps.cap = 128  # far below the scene's true pair count
+    vp = scene.getTrainCameras()[0]
+    loss, stats, _ = model.compute_loss(151, 152, vp, None, cfg.loss_cfg)
+    assert np.isfinite(float(loss))
+    assert "pair_overflow" in stats
+    assert not bool(stats["pair_overflow"])   # final accepted step is clean
+    assert model._pair_caps.cap > 128
+    assert model._pair_caps.cap >= int(stats["n_pairs"])

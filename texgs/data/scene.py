@@ -162,12 +162,18 @@ class Scene:
 
         self.cameras_extent = scene_info.nerf_normalization["radius"]
 
+        # Globally unique uids across splits: test uids continue after the
+        # train enumeration.  Per-list enumerate (the reference's scheme,
+        # loadCam call sites) collides train uid k with test uid k, and
+        # stage 2 caches depth/alpha by uid (uv_map_gaussian3d.depth_alpha)
+        # — a collision would serve the wrong camera's cache entry.
+        n_train = len(scene_info.train_cameras)
         for rs in (cfg.resolution_scales or [1.0]):
             log.info("Loading Training Cameras")
             self.train_cameras[rs] = [load_camera(cfg, i, c, rs)
                                       for i, c in enumerate(scene_info.train_cameras)]
             log.info("Loading Test Cameras")
-            self.test_cameras[rs] = [load_camera(cfg, i, c, rs)
+            self.test_cameras[rs] = [load_camera(cfg, n_train + i, c, rs)
                                      for i, c in enumerate(scene_info.test_cameras)]
 
     def getTrainCameras(self, scale: float = 1.0) -> list[Camera]:

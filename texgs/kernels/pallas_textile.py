@@ -1,0 +1,564 @@
+"""Windowed-VMEM cubemap fetch/scatter Pallas kernels — the stage-3 texture
+term at production speed.
+
+Replaces the XLA per-tap gather path (texgs.kernels.uvtex_raster.
+mlist_tex_term) for the texture color term of `diff_gauss_uv_tex`
+(/root/reference/render/uv_tex_render.py:56-66): the CUDA rasterizer fetches
+the cubemap and scatters texture gradients inside the kernel; XLA gathers
+are latency-bound on TPU (~10ns/row -> seconds per step at m=32 bilinear).
+
+Design (validated primitive-by-primitive on v5e):
+
+* The per-request work is split at the bilinear boundary: XLA computes the
+  differentiable chain  slot uv -> face,(u,v) -> texel coords + bilinear
+  fractions (wx, wy)  elementwise (cheap, autodiffed); the Pallas pair
+  handles only the bilinear fetch / texture scatter, with a custom VJP.
+* Requests are the M-list slots laid out slot-major: (T, 2M, 128) blocks,
+  row r, lane l  <=>  slot m = r//2, pixel p = (r%2)*128 + l.
+* Per (tile, face-slot) grid step the kernel slices a (W_ROWS x W_COLS)
+  window out of a whole texture face resident in VMEM (dynamic offsets are
+  8-sublane / 128-lane aligned — a Mosaic requirement — hinted with
+  pl.multiple_of).  Gather = per-window-row lane-gathers
+  (jnp.take_along_axis) + masked FMA; scatter = separable soft-one-hot
+  matmuls  Ry(rows,K) @ (Cx*v)(lanes,K)^T  on the MXU, 2-pass bf16-split
+  for f32-accurate accumulation (one-hot factors are exact in bf16).
+* Grid steps are sorted by face id so the face input block and the
+  face-gradient output block are each fetched/flushed once per face
+  (revisit-accumulate); 6 dummy steps guarantee every gradient face is
+  zero-initialised.
+* Bilinear edge clamping is folded into the *indices* (lx1 = clamped
+  lx0+1): tap values coincide exactly with the XLA twin's clipped taps, so
+  outputs and all gradients (incl. the zero wx-gradient at face edges)
+  match sample_cubemap's autodiff.
+* Requests whose face is not among the tile's two dominant faces, or whose
+  taps exceed the window, are counted; callers fall back to the exact XLA
+  path for the frame when the count is nonzero (rare after stage-2: UV maps
+  are smooth; early-training randomness is what the fallback is for).
+
+Runs in interpreter mode off-TPU; tests assert fwd+VJP allclose vs the XLA
+twin on both backends.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from texgs.kernels.cubemap import direction_to_face_uv
+from texgs.utils.sh import C0
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+class TexTileCfg(NamedTuple):
+    """Static geometry of one textile invocation (hashable jit key)."""
+    n_tiles: int
+    m: int            # M-list slots
+    res: int          # cubemap face resolution
+    w_rows: int       # window rows (multiple of 8)
+    n_half: int       # window lane-halves (1 if res <= 128 else 2)
+    cols: int         # lanes per half = min(res, 128)
+
+    @property
+    def rq_rows(self) -> int:
+        return 2 * self.m
+
+    @property
+    def n_blocks(self) -> int:
+        return -(-self.rq_rows // 8)
+
+    @property
+    def wc(self) -> int:
+        return self.n_half * self.cols
+
+    @property
+    def n_steps(self) -> int:
+        return 2 * self.n_tiles + 6
+
+
+def make_cfg(n_tiles: int, m: int, res: int) -> TexTileCfg:
+    assert res % 8 == 0, "texture resolution must be a multiple of 8"
+    assert res <= 128 or res % 128 == 0, \
+        "texture resolution must be <= 128 or a multiple of 128"
+    w_rows = min(72, res)
+    n_half = 1 if res <= 128 else 2
+    return TexTileCfg(n_tiles=n_tiles, m=m, res=res, w_rows=w_rows,
+                      n_half=n_half, cols=min(res, 128))
+
+
+# ---------------------------------------------------------------- XLA prep
+
+class TextilePrep(NamedTuple):
+    wq: jnp.ndarray        # (T, RQ, 128) f32: C0 * blend weight (0 if unused)
+    wx: jnp.ndarray        # (T, RQ, 128) f32 bilinear x fraction
+    wy: jnp.ndarray        # (T, RQ, 128) f32 bilinear y fraction
+    widx: jnp.ndarray      # (T, RQ, 128) i32: idx15 | slot<<15 | colsame<<16
+                           #                          | rowsame<<17
+    step_tile: jnp.ndarray  # (S,) i32
+    step_meta: jnp.ndarray  # (S,) i32 packed (see _pack_meta)
+    n_miss: jnp.ndarray     # () i32 requests not serviceable by windows
+
+
+def _pack_meta(slot, first, face, y0, x0, blkbits):
+    return (slot | (first << 1) | (face << 2) | ((y0 // 8) << 5)
+            | ((x0 // 128) << 12) | (blkbits << 15)).astype(jnp.int32)
+
+
+def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
+                 filter_mode: str = "bilinear") -> TextilePrep:
+    """Differentiable per-request quantities + stop-grad window metadata.
+
+    mlist: (T, PIX, M, 4) slot lists [w, ux, uy, uz] from the M-list kernel.
+    The uv -> face/fu/fv -> (wx, wy) chain stays in XLA so its VJP (incl.
+    the cube-face piecewise selects) is plain autodiff.
+    """
+    t, pix, m, _ = mlist.shape
+    res = cfg.res
+    rq = cfg.rq_rows
+
+    w = jnp.moveaxis(mlist[..., 0], 1, 2).reshape(t, rq, 128)
+    dirs = jnp.moveaxis(mlist[..., 1:4], 1, 2)          # (T, M, PIX, 3)
+    face, u, v = direction_to_face_uv(dirs.reshape(-1, 3))
+    face = face.reshape(t, rq, 128)
+    u = u.reshape(t, rq, 128)
+    v = v.reshape(t, rq, 128)
+
+    if filter_mode == "nearest":
+        xi0 = jnp.clip(((u * 0.5 + 0.5) * res).astype(jnp.int32), 0, res - 1)
+        yi0 = jnp.clip(((v * 0.5 + 0.5) * res).astype(jnp.int32), 0, res - 1)
+        xi1, yi1 = xi0, yi0
+        wx = jnp.zeros_like(u)
+        wy = jnp.zeros_like(v)
+    else:
+        fu = (u * 0.5 + 0.5) * res - 0.5
+        fv = (v * 0.5 + 0.5) * res - 0.5
+        x0f = jnp.floor(fu)
+        y0f = jnp.floor(fv)
+        wx = fu - x0f          # d wx / d fu = 1 (floor has zero gradient)
+        wy = fv - y0f
+        xi0 = jnp.clip(x0f.astype(jnp.int32), 0, res - 1)
+        xi1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, res - 1)
+        yi0 = jnp.clip(y0f.astype(jnp.int32), 0, res - 1)
+        yi1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, res - 1)
+
+    active = jax.lax.stop_gradient(w) > 0.0
+
+    # ---- window selection (all stop-grad integer bookkeeping)
+    hist = jnp.stack(
+        [jnp.sum((active & (face == f)).astype(jnp.int32), axis=(1, 2))
+         for f in range(6)], axis=1)                     # (T, 6)
+    f_a = jnp.argmax(hist, axis=1).astype(jnp.int32)
+    hist_b = hist.at[jnp.arange(t), f_a].set(0)
+    f_b = jnp.argmax(hist_b, axis=1).astype(jnp.int32)
+
+    def slot_window(f_slot):
+        msk = active & (face == f_slot[:, None, None])
+        big = jnp.int32(1 << 29)
+        ymin = jnp.min(jnp.where(msk, yi0, big), axis=(1, 2))
+        xmin = jnp.min(jnp.where(msk, xi0, big), axis=(1, 2))
+        if res > cfg.w_rows:
+            y0 = jnp.clip((ymin // 8) * 8, 0, res - cfg.w_rows)
+        else:
+            y0 = jnp.zeros_like(ymin)
+        if res > cfg.wc:
+            x0 = jnp.clip((xmin // 128) * 128, 0, res - cfg.wc)
+        else:
+            x0 = jnp.zeros_like(xmin)
+        fit = (msk & (yi0 >= y0[:, None, None])
+               & (yi1 <= y0[:, None, None] + cfg.w_rows - 1)
+               & (xi0 >= x0[:, None, None])
+               & (xi1 <= x0[:, None, None] + cfg.wc - 1))
+        return msk, y0, x0, fit
+
+    mask_a, y0_a, x0_a, fit_a = slot_window(f_a)
+    mask_b, y0_b, x0_b, fit_b = slot_window(f_b)
+    served = fit_a | fit_b
+    n_miss = jnp.sum((active & ~served).astype(jnp.int32))
+
+    slot = fit_b & ~fit_a                        # prefer slot A
+    y0_r = jnp.where(slot, y0_b[:, None, None], y0_a[:, None, None])
+    x0_r = jnp.where(slot, x0_b[:, None, None], x0_a[:, None, None])
+    ly0 = jnp.clip(yi0 - y0_r, 0, cfg.w_rows - 1)
+    lx0 = jnp.clip(xi0 - x0_r, 0, cfg.wc - 1)
+    colsame = (xi1 == xi0).astype(jnp.int32)
+    rowsame = (yi1 == yi0).astype(jnp.int32)
+    idx15 = ly0 * cfg.wc + lx0
+    widx = (idx15 | (slot.astype(jnp.int32) << 15) | (colsame << 16)
+            | (rowsame << 17)).astype(jnp.int32)
+
+    wq = jnp.where(served, C0 * w, 0.0)
+
+    # ---- per-(tile, slot) block activity bitmaps
+    def blkbits(msk):
+        mm = msk.reshape(t, cfg.n_blocks, 8 * 128).any(axis=2)
+        return jnp.sum(mm.astype(jnp.int32) << jnp.arange(cfg.n_blocks),
+                       axis=1)
+    bits_a = blkbits(fit_a)
+    bits_b = blkbits(fit_b & ~fit_a)
+
+    # ---- step arrays, sorted by face so face blocks are visited in runs
+    tiles = jnp.arange(t, dtype=jnp.int32)
+    st_tile = jnp.concatenate([tiles, tiles, jnp.zeros(6, jnp.int32)])
+    st_slot = jnp.concatenate([jnp.zeros(t, jnp.int32),
+                               jnp.ones(t, jnp.int32),
+                               jnp.zeros(6, jnp.int32)])
+    st_face = jnp.concatenate([f_a, f_b, jnp.arange(6, dtype=jnp.int32)])
+    st_y0 = jnp.concatenate([y0_a, y0_b, jnp.zeros(6, jnp.int32)])
+    st_x0 = jnp.concatenate([x0_a, x0_b, jnp.zeros(6, jnp.int32)])
+    st_bits = jnp.concatenate([bits_a, bits_b, jnp.zeros(6, jnp.int32)])
+
+    order = jnp.argsort(st_face, stable=True)
+    st_tile = st_tile[order]
+    st_face = st_face[order]
+    first = jnp.concatenate([jnp.ones(1, bool),
+                             st_face[1:] != st_face[:-1]]).astype(jnp.int32)
+    meta = _pack_meta(st_slot[order], first, st_face, st_y0[order],
+                      st_x0[order], st_bits[order])
+    return TextilePrep(wq=wq, wx=wx, wy=wy, widx=widx,
+                       step_tile=st_tile, step_meta=meta, n_miss=n_miss)
+
+
+# ------------------------------------------------------------- fwd kernel
+
+def _unpack_meta(meta, cfg: TexTileCfg):
+    slot = meta & 1
+    first = (meta >> 1) & 1
+    y0 = pl.multiple_of(((meta >> 5) & 127) * 8, 8)
+    x0 = pl.multiple_of(((meta >> 12) & 7) * 128, 128)
+    bits = (meta >> 15) & 255
+    return slot, first, y0, x0, bits
+
+
+def _load_window(tex_ref, y0, x0, cfg: TexTileCfg):
+    """-> win[ch][h]: (w_rows, 128) per channel per lane-half (lane-padded
+    when the face is narrower than 128)."""
+    win = []
+    for ch in range(3):
+        halves = []
+        for h in range(cfg.n_half):
+            blk = tex_ref[ch, 0, pl.ds(y0, cfg.w_rows),
+                          pl.ds(x0 + h * 128 if cfg.n_half > 1 else x0,
+                                cfg.cols)]
+            if cfg.cols < 128:
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((cfg.w_rows, 128 - cfg.cols),
+                                    blk.dtype)], axis=1)
+            halves.append(blk)
+        win.append(halves)
+    return win
+
+
+def _decode_block(wq, wx, wy, widx, slot, cfg: TexTileCfg):
+    """Per-request decoded quantities for one (8, 128) request block."""
+    sbit = (widx >> 15) & 1
+    colsame = (widx >> 16) & 1
+    rowsame = (widx >> 17) & 1
+    idx15 = widx & 0x7FFF
+    ly0 = idx15 // cfg.wc
+    lx0 = idx15 % cfg.wc
+    lx1 = lx0 + (1 - colsame)
+    ly1 = ly0 + (1 - rowsame)
+    match = (sbit == slot) & (wq != 0.0)
+    wqm = jnp.where(match, wq, 0.0)
+    return wqm, wx, wy, ly0, ly1, lx0, lx1
+
+
+def _gather_taps(win, ly0, ly1, lx0, lx1, cfg: TexTileCfg):
+    """4 bilinear taps per channel for one request block.
+
+    Returns t[ab][ch] with ab in (00, 01, 10, 11): t00/t01 at row ly0,
+    t10/t11 at row ly1; 0/1 suffix = lx0/lx1 column.
+    """
+    if cfg.n_half > 1:
+        h0 = lx0 // 128
+        h1 = lx1 // 128
+        c0 = lx0 % 128
+        c1 = lx1 % 128
+    else:
+        c0, c1 = lx0, lx1
+    taps = [[jnp.zeros(ly0.shape, jnp.float32) for _ in range(3)]
+            for _ in range(4)]
+    for k in range(cfg.w_rows):
+        m0 = ly0 == k
+        m1 = ly1 == k
+        for h in range(cfg.n_half):
+            if cfg.n_half > 1:
+                m0h0 = (m0 & (h0 == h)).astype(jnp.float32)
+                m0h1 = (m0 & (h1 == h)).astype(jnp.float32)
+                m1h0 = (m1 & (h0 == h)).astype(jnp.float32)
+                m1h1 = (m1 & (h1 == h)).astype(jnp.float32)
+            else:
+                m0h0 = m0h1 = m0.astype(jnp.float32)
+                m1h0 = m1h1 = m1.astype(jnp.float32)
+            for ch in range(3):
+                rowk = jnp.broadcast_to(win[ch][h][k:k + 1, :], ly0.shape)
+                g0 = jnp.take_along_axis(rowk, c0, axis=1)
+                g1 = jnp.take_along_axis(rowk, c1, axis=1)
+                taps[0][ch] += m0h0 * g0
+                taps[1][ch] += m0h1 * g1
+                taps[2][ch] += m1h0 * g0
+                taps[3][ch] += m1h1 * g1
+    return taps
+
+
+def _fwd_kernel(tile_ref, meta_ref, tex_ref, wq_ref, wx_ref, wy_ref,
+                widx_ref, out_ref, *, cfg: TexTileCfg):
+    s = pl.program_id(0)
+    slot, _first, y0, x0, bits = _unpack_meta(meta_ref[s], cfg)
+    out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when(bits != 0)
+    def _():
+        win = _load_window(tex_ref, y0, x0, cfg)
+        row_par = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) % 2
+        for b in range(cfg.n_blocks):
+            # accumulate via the ref: pl.when bodies only persist ref writes
+            @pl.when(((bits >> b) & 1) != 0)
+            def _():
+                r0 = 8 * b
+                wqm, wx, wy, ly0, ly1, lx0, lx1 = _decode_block(
+                    wq_ref[0, r0:r0 + 8, :], wx_ref[0, r0:r0 + 8, :],
+                    wy_ref[0, r0:r0 + 8, :], widx_ref[0, r0:r0 + 8, :],
+                    slot, cfg)
+                taps = _gather_taps(win, ly0, ly1, lx0, lx1, cfg)
+                fy0 = wqm * (1.0 - wy)
+                fy1 = wqm * wy
+                rows = []
+                for ch in range(3):
+                    top = (1.0 - wx) * taps[0][ch] + wx * taps[1][ch]
+                    bot = (1.0 - wx) * taps[2][ch] + wx * taps[3][ch]
+                    val = fy0 * top + fy1 * bot           # (8, 128)
+                    even = jnp.sum(jnp.where(row_par == 0, val, 0.0),
+                                   axis=0, keepdims=True)
+                    odd = jnp.sum(jnp.where(row_par == 1, val, 0.0),
+                                  axis=0, keepdims=True)
+                    rows.extend([even, odd])
+                rows.append(jnp.zeros((2, 128), jnp.float32))
+                out_ref[0] += jnp.concatenate(rows, axis=0)
+
+
+# ------------------------------------------------------------- bwd kernel
+
+def _bwd_kernel(tile_ref, meta_ref, tex_ref, wq_ref, wx_ref, wy_ref,
+                widx_ref, wqr_ref, wxr_ref, wyr_ref, widxr_ref, g_ref,
+                dwq_ref, dwx_ref, dwy_ref, dtex_ref, *, cfg: TexTileCfg):
+    s = pl.program_id(0)
+    slot, first, y0, x0, bits = _unpack_meta(meta_ref[s], cfg)
+
+    @pl.when(first == 1)
+    def _():
+        dtex_ref[:, :, :, :] = jnp.zeros_like(dtex_ref)
+
+    dwq_ref[0] = jnp.zeros_like(dwq_ref[0])
+    dwx_ref[0] = jnp.zeros_like(dwx_ref[0])
+    dwy_ref[0] = jnp.zeros_like(dwy_ref[0])
+
+    @pl.when(bits != 0)
+    def _():
+        win = _load_window(tex_ref, y0, x0, cfg)
+        g = g_ref[0]                                   # (8, 128) pixel cot.
+        # per-request upstream gradient rows: block rows alternate
+        # even/odd pixel halves -> (8, 128) per channel
+        gb = [jnp.concatenate([g[2 * ch:2 * ch + 2, :]] * 4, axis=0)
+              for ch in range(3)]
+        # row-layout (1, 1024) equivalents for the scatter matmuls
+        gr = [jnp.concatenate(
+            [g[2 * ch:2 * ch + 1, :], g[2 * ch + 1:2 * ch + 2, :]] * 4,
+            axis=1) for ch in range(3)]
+
+        n_rows = cfg.w_rows
+        sub_rows = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1024), 0)
+        n_lane_rows = cfg.n_half * 128
+        sub_lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (n_lane_rows, 1024), 0)
+
+        for b in range(cfg.n_blocks):
+            @pl.when(((bits >> b) & 1) != 0)
+            def _():
+                r0 = 8 * b
+                wqm, wx, wy, ly0, ly1, lx0, lx1 = _decode_block(
+                    wq_ref[0, r0:r0 + 8, :], wx_ref[0, r0:r0 + 8, :],
+                    wy_ref[0, r0:r0 + 8, :], widx_ref[0, r0:r0 + 8, :],
+                    slot, cfg)
+                taps = _gather_taps(win, ly0, ly1, lx0, lx1, cfg)
+
+                # cotangents of wq / wx / wy (match twin autodiff exactly:
+                # clamped taps coincide, so differences vanish at edges)
+                dwq = jnp.zeros((8, 128), jnp.float32)
+                dwx = jnp.zeros((8, 128), jnp.float32)
+                dwy = jnp.zeros((8, 128), jnp.float32)
+                for ch in range(3):
+                    top = (1.0 - wx) * taps[0][ch] + wx * taps[1][ch]
+                    bot = (1.0 - wx) * taps[2][ch] + wx * taps[3][ch]
+                    dwq += gb[ch] * ((1.0 - wy) * top + wy * bot)
+                    dwx += gb[ch] * wqm * (
+                        (1.0 - wy) * (taps[1][ch] - taps[0][ch])
+                        + wy * (taps[3][ch] - taps[2][ch]))
+                    dwy += gb[ch] * wqm * (bot - top)
+                mvalid = (wqm != 0.0).astype(jnp.float32)
+                dwq_ref[0, r0:r0 + 8, :] = dwq * mvalid
+                dwx_ref[0, r0:r0 + 8, :] = dwx * mvalid
+                dwy_ref[0, r0:r0 + 8, :] = dwy * mvalid
+
+                # ---- separable scatter (row layout): one matmul/channel
+                wqr, wxr, wyr, ly0r, ly1r, lx0r, lx1r = _decode_block(
+                    wqr_ref[0, b], wxr_ref[0, b], wyr_ref[0, b],
+                    widxr_ref[0, b], slot, cfg)
+                ry = (jnp.where(ly0r == sub_rows, 1.0, 0.0) * (1.0 - wyr)
+                      + jnp.where(ly1r == sub_rows, 1.0, 0.0) * wyr)
+                cxw = (jnp.where(lx0r == sub_lanes, 1.0, 0.0) * (1.0 - wxr)
+                       + jnp.where(lx1r == sub_lanes, 1.0, 0.0) * wxr)
+                ry_b = ry.astype(jnp.bfloat16)
+                for ch in range(3):
+                    x_full = cxw * (wqr * gr[ch])
+                    xh = x_full.astype(jnp.bfloat16)
+                    xl = (x_full - xh.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    mm = lambda bb: jax.lax.dot_general(
+                        ry_b, bb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    gw = mm(xh) + mm(xl)     # (w_rows, n_half*128)
+                    for h in range(cfg.n_half):
+                        xo = pl.multiple_of(
+                            x0 + h * 128 if cfg.n_half > 1 else x0, 128)
+                        dtex_ref[ch, 0, pl.ds(y0, cfg.w_rows),
+                                 pl.ds(xo, cfg.cols)] += \
+                            gw[:, h * 128:h * 128 + cfg.cols]
+
+
+# ----------------------------------------------------------- host wrapper
+
+def _specs(cfg: TexTileCfg, with_rows: bool):
+    rq = cfg.rq_rows
+    tile_idx = lambda s, tl, mt: (tl[s], 0, 0)
+    req_spec = pl.BlockSpec((1, rq, 128), tile_idx,
+                            memory_space=pltpu.VMEM)
+    reqr_spec = pl.BlockSpec((1, cfg.n_blocks, 1, 1024),
+                             lambda s, tl, mt: (tl[s], 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    tex_spec = pl.BlockSpec(
+        (3, 1, cfg.res, cfg.res),
+        lambda s, tl, mt: (0, (mt[s] >> 2) & 7, 0, 0),
+        memory_space=pltpu.VMEM)
+    return tex_spec, req_spec, reqr_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def textile_apply(cfg: TexTileCfg, wq, wx, wy, widx, tex_planar,
+                  step_tile, step_meta):
+    """Pixel-summed texture term per tile: (T, 8, 128) packed as rows
+    [ch0 even, ch0 odd, ch1 even, ch1 odd, ch2 even, ch2 odd, pad, pad]
+    where even/odd = pixel halves p < 128 / p >= 128.
+
+    tex_planar: (3, 6, R, R) f32.  Differentiable in wq/wx/wy/tex_planar.
+    """
+    return _textile_fwd_call(cfg, wq, wx, wy, widx, tex_planar, step_tile,
+                             step_meta)
+
+
+def _textile_fwd_call(cfg, wq, wx, wy, widx, tex_planar, step_tile,
+                      step_meta):
+    tex_spec, req_spec, _ = _specs(cfg, False)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cfg.n_steps,),
+        in_specs=[tex_spec, req_spec, req_spec, req_spec, req_spec],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda s, tl, mt: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    partials = pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg=cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cfg.n_steps, 8, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(step_tile, step_meta, tex_planar, wq, wx, wy, widx)
+    out = jnp.zeros((cfg.n_tiles, 8, 128), jnp.float32)
+    return out.at[step_tile].add(partials)
+
+
+def _textile_fwd(cfg, wq, wx, wy, widx, tex_planar, step_tile, step_meta):
+    out = _textile_fwd_call(cfg, wq, wx, wy, widx, tex_planar, step_tile,
+                            step_meta)
+    return out, (wq, wx, wy, widx, tex_planar, step_tile, step_meta)
+
+
+def _textile_bwd(cfg, res, g):
+    wq, wx, wy, widx, tex_planar, step_tile, step_meta = res
+    rq = cfg.rq_rows
+    # row-layout views (free reshapes of the same buffers)
+    as_rows = lambda a: a.reshape(a.shape[0], cfg.n_blocks, 1, 1024)
+    tex_spec, req_spec, reqr_spec = _specs(cfg, True)
+    g_spec = pl.BlockSpec((1, 8, 128), lambda s, tl, mt: (tl[s], 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_req = pl.BlockSpec((1, rq, 128), lambda s, tl, mt: (s, 0, 0),
+                           memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cfg.n_steps,),
+        in_specs=[tex_spec, req_spec, req_spec, req_spec, req_spec,
+                  reqr_spec, reqr_spec, reqr_spec, reqr_spec, g_spec],
+        out_specs=[out_req, out_req, out_req,
+                   pl.BlockSpec((3, 1, cfg.res, cfg.res),
+                                lambda s, tl, mt: (0, (mt[s] >> 2) & 7,
+                                                   0, 0),
+                                memory_space=pltpu.VMEM)],
+    )
+    dwq_s, dwx_s, dwy_s, dtex = pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg=cfg),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((cfg.n_steps, rq, 128), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.n_steps, rq, 128), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.n_steps, rq, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, 6, cfg.res, cfg.res), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(step_tile, step_meta, tex_planar, wq, wx, wy, widx,
+      as_rows(wq), as_rows(wx), as_rows(wy), as_rows(widx), g)
+
+    def collect(d_steps):
+        out = jnp.zeros((cfg.n_tiles, rq, 128), jnp.float32)
+        return out.at[step_tile].add(d_steps)
+
+    return (collect(dwq_s), collect(dwx_s), collect(dwy_s), None, dtex,
+            None, None)
+
+
+textile_apply.defvjp(_textile_fwd, _textile_bwd)
+
+
+# ------------------------------------------------------------- public API
+
+def tex_term_textile(mlist: jnp.ndarray, texture: jnp.ndarray,
+                     height: int, width: int,
+                     filter_mode: str = "bilinear"):
+    """(T, PIX, M, 4) M-lists + (6, R, R, 3) cubemap -> ((3, H, W) texture
+    color term, miss count).  Drop-in for uvtex_raster.mlist_tex_term with
+    an extra diagnostics return; callers cond-fallback to the XLA path when
+    miss > 0 (exactness guarantee)."""
+    from texgs.kernels.binning import grid_shape
+    from texgs.kernels.reference import TILE
+
+    t, pix, m, _ = mlist.shape
+    cfg = make_cfg(t, m, texture.shape[1])
+    prep = textile_prep(mlist, cfg, filter_mode)
+    tex_planar = jnp.moveaxis(texture, -1, 0)           # (3, 6, R, R)
+    out = textile_apply(cfg, prep.wq, prep.wx, prep.wy, prep.widx,
+                        tex_planar, prep.step_tile, prep.step_meta)
+    # (T, 8, 128) -> (T, PIX, 3) -> (3, H, W)
+    vals = out[:, :6, :].reshape(t, 3, 2 * 128)          # (T, ch, PIX)
+    gy, gx = grid_shape(height, width)
+    img = vals.reshape(gy, gx, 3, TILE, TILE)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(3, gy * TILE, gx * TILE)
+    return img[:, :height, :width], prep.n_miss

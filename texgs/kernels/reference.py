@@ -42,6 +42,11 @@ class RasterOutput(NamedTuple):
     norm: jnp.ndarray    # (3, H, W)
     alpha: jnp.ndarray   # (1, H, W)
     extra: Optional[jnp.ndarray]  # (E, H, W) or None
+    # Binning diagnostics (tiled backends only): true uncapped pair count and
+    # whether pair_cap was exceeded (pairs silently dropped -> callers must
+    # retry at a larger cap, see texgs.train.pair_cap).
+    n_pairs: Optional[jnp.ndarray] = None     # () int32
+    overflowed: Optional[jnp.ndarray] = None  # () bool
 
 
 def tile_rect(means2d: jnp.ndarray, radii: jnp.ndarray, width: int, height: int):

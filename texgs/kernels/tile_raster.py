@@ -257,5 +257,6 @@ def rasterize_tiled(proj: ProjectedGaussians, height: int, width: int,
         tiles_out, t_final = rasterize_pallas(attrs, pairs, height, width, chunk)
     else:
         tiles_out, t_final = rasterize_scan(attrs, pairs, height, width, chunk)
-    return assemble_image(tiles_out, t_final, height, width, bg, n_extra,
-                          normalize_depth)
+    out = assemble_image(tiles_out, t_final, height, width, bg, n_extra,
+                         normalize_depth)
+    return out._replace(n_pairs=pairs.n_pairs, overflowed=pairs.overflowed)

@@ -389,4 +389,5 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
     tex_img = mlist_tex_term(mlist, texture, height, width, filter_mode)
 
     return RasterOutput(image=base.image + tex_img, depth=base.depth,
-                        norm=base.norm, alpha=base.alpha, extra=base.extra)
+                        norm=base.norm, alpha=base.alpha, extra=base.extra,
+                        n_pairs=pairs.n_pairs, overflowed=pairs.overflowed)

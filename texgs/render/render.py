@@ -101,4 +101,7 @@ def render(viewpoint_camera: Camera, *,
         "extra": out.extra,
         "radii": proj.radii,
         "visibility_filter": proj.radii > 0,
+        # binning diagnostics (None on the dense reference backend)
+        "n_pairs": out.n_pairs,
+        "pair_overflow": out.overflowed,
     }

@@ -32,6 +32,8 @@ canvas{border:1px solid #444;cursor:grab}button{margin:2px}
   <button onclick="setMode('norm')">normal</button>
   scale <input id="scale" type="range" min="0.1" max="2.0" step="0.1"
     value="1.0" onchange="refresh()">
+  fov <input id="fov" type="range" min="20" max="120" step="1"
+    value="50" onchange="refresh()">
   <button onclick="screenshot()">screenshot</button>
   <span id="stat"></span>
 </div>
@@ -53,12 +55,13 @@ function screenshot(){
 async function refresh(){
   if(busy)return; busy=true;
   const s=document.getElementById('scale').value;
+  const f=document.getElementById('fov').value;
   const t0=performance.now();
   const img=new Image();
   img.onload=()=>{ctx.drawImage(img,0,0);busy=false;
     document.getElementById('stat').textContent=
       ' '+(performance.now()-t0).toFixed(0)+'ms';};
-  img.src=`/frame?az=${az}&el=${el}&r=${r}&mode=${mode}&scale=${s}&t=${Date.now()}`;
+  img.src=`/frame?az=${az}&el=${el}&r=${r}&mode=${mode}&scale=${s}&fov=${f}&t=${Date.now()}`;
 }
 refresh();
 </script></body></html>"""
@@ -73,7 +76,7 @@ class ViewerState:
         self.lock = threading.Lock()
 
     def render_frame(self, az: float, el: float, radius: float, mode: str,
-                     scale: float) -> np.ndarray:
+                     scale: float, fov_deg: float = None) -> np.ndarray:
         import jax.numpy as jnp
 
         from texgs.core.camera import look_at_camera
@@ -81,7 +84,10 @@ class ViewerState:
         eye = np.array([radius * math.cos(az) * math.cos(el),
                         radius * math.sin(az) * math.cos(el),
                         radius * math.sin(el)])
-        fovx = math.radians(self.fov_deg)
+        # fov is jit-static camera aux data; quantize to whole degrees so
+        # the slider produces a bounded set of compiled programs (parity
+        # control with the reference UI's fov slider, viewer.py:155-199)
+        fovx = math.radians(round(fov_deg if fov_deg else self.fov_deg))
         fovy = 2 * math.atan(math.tan(fovx / 2) * self.height / self.width)
         cam = look_at_camera(eye, np.zeros(3), np.array([0.0, 0.0, 1.0]),
                              fovx, fovy, self.width, self.height)
@@ -130,7 +136,8 @@ def serve(state: ViewerState, port: int = 8000):
                 frame = state.render_frame(
                     float(q.get("az", 0)), float(q.get("el", 0.3)),
                     float(q.get("r", 3.5)), q.get("mode", "rgb"),
-                    float(q.get("scale", 1.0)))
+                    float(q.get("scale", 1.0)),
+                    float(q.get("fov", 0)) or None)
                 buf = io.BytesIO()
                 imageio.imwrite(buf, frame, format="png")
                 self.send_response(200)

@@ -30,6 +30,7 @@ from texgs.core.camera import Camera
 from texgs.core.state import GaussianState, init_from_pcd
 from texgs.render.render import render
 from texgs.train import densify, optim
+from texgs.train.pair_cap import PairCapController
 from texgs.utils.schedules import expon_lr
 
 
@@ -62,6 +63,7 @@ class Gaussian3D:
         self.xyz_lr_fn = None
         self.backend = cfg.get_or("backend", "auto")
         self._rng = jax.random.PRNGKey(int(cfg.get_or("seed", 0)))
+        self._pair_caps = PairCapController(log=log)
 
     # ------------------------------------------------------------------ setup
     def initialize(self, pcd, spatial_lr_scale: float):
@@ -95,10 +97,11 @@ class Gaussian3D:
 
     # ------------------------------------------------------------- jitted core
     @functools.partial(jax.jit, static_argnames=(
-        "self", "flags", "active_sh_degree"))
+        "self", "flags", "active_sh_degree", "pair_cap", "backend"))
     def _train_step(self, state: GaussianState, adam, stats, camera: Camera,
                     lrs, lambdas, apply_adam, flags: tuple,
-                    active_sh_degree: int):
+                    active_sh_degree: int, pair_cap: Optional[int] = None,
+                    backend: str = "auto"):
         """Fused render + loss + grads (+ Adam & densify-stat accumulation)."""
         (use_alpha, use_opacity_reg, use_depth, use_norm, use_norm_smooth,
          use_norm_reg, track_stats) = flags
@@ -121,7 +124,7 @@ class Gaussian3D:
                          features=st.get_features(),
                          active_sh_degree=active_sh_degree,
                          bg_color=lambdas["bg"], ndc_offset=ndc_zero,
-                         backend=self.backend)
+                         backend=backend, pair_cap=pair_cap)
             image, depth = out["render"], out["depth"]
             norm, alpha = out["norm"], out["alpha"]
 
@@ -158,13 +161,17 @@ class Gaussian3D:
                 stats_d["Lnorm_reg"] = lnr
 
             stats_d["total_loss"] = loss
-            return loss, (stats_d, out["radii"])
+            return loss, (stats_d, out["radii"],
+                          out["n_pairs"], out["pair_overflow"])
 
         params = state.params_dict()
         ndc_zero = jnp.zeros((capacity, 2), jnp.float32)
-        (loss, (stats_d, radii)), grads = jax.value_and_grad(
+        (loss, (stats_d, radii, n_pairs, overflow)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, ndc_zero)
         param_grads, vs_grad = grads
+        if n_pairs is not None:
+            stats_d["n_pairs"] = n_pairs
+            stats_d["pair_overflow"] = overflow
 
         if track_stats:
             stats = densify.add_stats(stats, vs_grad, radii)
@@ -233,10 +240,26 @@ class Gaussian3D:
             "norm_reg": jnp.float32(lc.get_or("lambda_norm_reg", 0.0)),
         }
         apply_adam = jnp.asarray(not self._surgery_planned(cur_iter))
-        self.state, self.adam, self.stats, loss, stats_d = self._train_step(
-            self.state, self.adam, self.stats, viewpoint,
-            self._lrs(cur_iter), lambdas, apply_adam, flags,
-            self.active_sh_degree)
+
+        # Pair-cap feedback loop: a static cap sizes every pair array; on
+        # overflow (pairs silently dropped) grow the cap and RE-RUN — the
+        # step is functional, so the retry is exact (texgs.train.pair_cap).
+        default_cap = max(4 * self.state.capacity, 1 << 14)
+        for _attempt in range(4):
+            result = self._train_step(
+                self.state, self.adam, self.stats, viewpoint,
+                self._lrs(cur_iter), lambdas, apply_adam, flags,
+                self.active_sh_degree,
+                self._pair_caps.current(default_cap), self.backend)
+            stats_d = result[4]
+            if "pair_overflow" not in stats_d:
+                break
+            n_pairs = int(stats_d["n_pairs"])
+            if not bool(stats_d["pair_overflow"]):
+                self._pair_caps.observe(n_pairs, default_cap)
+                break
+            self._pair_caps.grow(n_pairs, default_cap)
+        self.state, self.adam, self.stats, loss, stats_d = result
         return loss, stats_d, {}
 
     # Surgery schedule helpers --------------------------------------------

@@ -1,0 +1,78 @@
+"""Host-side pair-capacity feedback for the tile binner.
+
+The CUDA rasterizer the reference pip-installs sizes its duplicated-key
+buffer exactly per frame (SURVEY.md §2.2 internals); our static-shape
+binning (texgs.kernels.binning) instead uses a fixed ``pair_cap`` and
+reports the true uncapped count + an overflow flag.  This controller turns
+those reports into a power-of-two cap schedule (same bucketing idea as the
+Gaussian capacity growth in texgs.train.gaussian3d._round_capacity):
+
+  * overflow  -> grow immediately to the next bucket above ``slack * true``
+    and have the caller RE-RUN the step — functional train steps make the
+    retry exact, so no silently-truncated frame ever reaches a gradient;
+  * sustained slack (cap > 2 * needed for ``shrink_patience`` consecutive
+    reports) -> shrink one observation's bucket, trading one re-trace for a
+    proportional cut in binning/raster work every following step.
+
+Caps are jit-static (they size every pair-indexed array), so every change
+costs a re-trace; the bucketing bounds how many can ever happen.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+def next_pow2(n: int, floor: int = 1 << 14) -> int:
+    cap = floor
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class PairCapController:
+    """Tracks one render path's pair cap (stage trainers keep one each)."""
+
+    def __init__(self, slack: float = 1.25, shrink_patience: int = 200,
+                 floor: int = 1 << 14, log=None):
+        self.slack = slack
+        self.shrink_patience = shrink_patience
+        self.floor = floor
+        self.log = log
+        self.cap: Optional[int] = None   # None -> caller's default
+        self._calm = 0
+
+    def current(self, default: int) -> int:
+        return self.cap if self.cap is not None else default
+
+    def grow(self, n_pairs: int, default: int) -> int:
+        """Overflow observed: bump the cap above the true count."""
+        need = next_pow2(int(n_pairs * self.slack), self.floor)
+        cur = self.current(default)
+        new = max(need, cur * 2)
+        if self.log:
+            self.log.warning(
+                f"pair_cap overflow: {n_pairs} true pairs > cap {cur}; "
+                f"growing to {new} and re-running the step")
+        self.cap = new
+        self._calm = 0
+        return new
+
+    def observe(self, n_pairs: int, default: int) -> bool:
+        """Non-overflow report.  Returns True if the cap changed (shrink)."""
+        need = next_pow2(int(n_pairs * self.slack), self.floor)
+        cur = self.current(default)
+        if need * 2 <= cur:
+            self._calm += 1
+            if self._calm >= self.shrink_patience:
+                new = max(need, self.floor)
+                if self.log:
+                    self.log.info(
+                        f"pair_cap shrink: {cur} -> {new} "
+                        f"({n_pairs} true pairs)")
+                self.cap = new
+                self._calm = 0
+                return True
+        else:
+            self._calm = 0
+        return False

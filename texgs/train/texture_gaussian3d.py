@@ -34,6 +34,7 @@ from texgs.nets.uv_net import (apply_inv_uv_net, apply_uv_net,
                                init_inv_uv_net, init_uv_net)
 from texgs.render.uv_tex_render import uv_tex_render
 from texgs.train import optim
+from texgs.train.pair_cap import PairCapController
 from texgs.train.uv_map_gaussian3d import depth2world
 from texgs.utils.schedules import expon_lr, warmup_multistep
 from texgs.utils.sh import C0
@@ -77,6 +78,7 @@ class TextureGaussian3D:
         self._train_cfg = None
         self._uv_step_count = 0
         self._eval_cache = None
+        self._pair_caps = PairCapController(log=log)
 
     # ------------------------------------------------------------- setup
     def bind_train_cfg(self, train_cfg: Cfg, bg):
@@ -152,11 +154,12 @@ class TextureGaussian3D:
     # ------------------------------------------------------ jitted core
     @functools.partial(jax.jit, static_argnames=("self", "flags",
                                                  "active_sh_degree",
-                                                 "n_inv_points"))
+                                                 "n_inv_points", "pair_cap"))
     def _train_step(self, gauss_params, uv_params, tex_params,
                     adam_g, adam_uv, adam_tex, camera: Camera, key,
                     lrs, lambdas, apply_flags, flags: tuple,
-                    active_sh_degree: int, n_inv_points: int):
+                    active_sh_degree: int, n_inv_points: int,
+                    pair_cap: Optional[int] = None):
         (use_rgb, use_alpha, use_depth, use_norm, use_norm_reg,
          use_norm_smooth, use_opacity_reg, use_no_sh, use_inverse) = flags
         apply_g, apply_uv, apply_tex = apply_flags
@@ -181,7 +184,8 @@ class TextureGaussian3D:
                     m=int(self.cfg.get_or("uvtex_m", 32)),
                     filter_mode=self.cfg.tex_cfg.get_or(
                         "filter_mode", "bilinear"),
-                    backend=self.cfg.get_or("backend", "auto"))
+                    backend=self.cfg.get_or("backend", "auto"),
+                    pair_cap=pair_cap)
 
             out = do_render(active_sh_degree)
             image, depth = out["render"], out["depth"]
@@ -189,6 +193,9 @@ class TextureGaussian3D:
 
             loss = 0.0
             stats = {}
+            if out["n_pairs"] is not None:
+                stats["n_pairs"] = jax.lax.stop_gradient(out["n_pairs"])
+                stats["pair_overflow"] = out["pair_overflow"]
             if use_rgb:
                 ll1 = losses.l1_loss(image, gt_image)
                 lssim = 1.0 - losses.ssim_loss(image, gt_image)
@@ -349,11 +356,24 @@ class TextureGaussian3D:
 
         self._rng, key = jax.random.split(self._rng)
         n_inv = int(self.cfg.get_or("max_inverse_points", 0))
+        # pair-cap feedback with exact retry on overflow (texgs.train.pair_cap)
+        default_cap = max(4 * self.gauss_params["xyz"].shape[0], 1 << 14)
+        for _attempt in range(4):
+            result = self._train_step(
+                self.gauss_params, self.uv_params, self.tex_params,
+                self.adam_g, self.adam_uv, self.adam_tex, viewpoint, key,
+                lrs, lambdas, apply_flags, flags, self.active_sh_degree,
+                n_inv, self._pair_caps.current(default_cap))
+            stats = result[7]
+            if "pair_overflow" not in stats:
+                break
+            n_pairs = int(stats["n_pairs"])
+            if not bool(stats["pair_overflow"]):
+                self._pair_caps.observe(n_pairs, default_cap)
+                break
+            self._pair_caps.grow(n_pairs, default_cap)
         (self.gauss_params, self.uv_params, self.tex_params, self.adam_g,
-         self.adam_uv, self.adam_tex, loss, stats) = self._train_step(
-            self.gauss_params, self.uv_params, self.tex_params,
-            self.adam_g, self.adam_uv, self.adam_tex, viewpoint, key,
-            lrs, lambdas, apply_flags, flags, self.active_sh_degree, n_inv)
+         self.adam_uv, self.adam_tex, loss, stats) = result
         self._eval_cache = None
         return loss, stats, {}
 

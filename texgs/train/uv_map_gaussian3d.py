@@ -135,7 +135,9 @@ class UVMapGaussian3D:
         return out["depth"], out["alpha"], out["norm"], out["render"]
 
     def depth_alpha(self, camera: Camera):
-        key = camera.uid
+        # (uid, image_name) key: uids are globally unique across splits
+        # (scene.py), the name guards against any residual aliasing
+        key = (camera.uid, camera.image_name)
         if key not in self._depth_alpha_cache:
             self._depth_alpha_cache[key] = self._render_depth_alpha(
                 self.gauss, camera)
