@@ -60,21 +60,34 @@ def _run_bench(backend):
             return (jnp.abs(out["render"] - target).mean()
                     + out["alpha"].mean() * 0.1)
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        return loss, grads
+        # dependency-chain the params so benchmark iterations serialize
+        # (value-identical: + 0 * grad)
+        new_params = jax.tree.map(lambda a, g: a + 0.0 * g, params, grads)
+        return loss, new_params
 
     params = state.params_dict()
 
-    # compile + warmup
-    loss, grads = step(params)
-    jax.block_until_ready(grads)
+    # compile + warmup.  NB: jax.block_until_ready returns BEFORE device
+    # execution completes on the axon remote platform (verified 2026-08-17)
+    # — only a value read forces completion, and iterations are dependency-
+    # chained so the queue cannot reorder or elide them.
+    loss, _ = step(params)
+    float(loss)
 
-    t0 = time.time()
-    for _ in range(ITERS):
-        loss, grads = step(params)
-    jax.block_until_ready(grads)
-    dt = time.time() - t0
+    def run(iters):
+        p = params
+        t0 = time.time()
+        for _ in range(iters):
+            loss, p = step(p)
+        float(loss)
+        return time.time() - t0
 
-    rays_per_s = ITERS * WIDTH * HEIGHT / dt
+    n_small = max(ITERS // 4, 1)
+    t_small = run(n_small)
+    t_big = run(ITERS)
+    dt = (t_big - t_small) / (ITERS - n_small)
+
+    rays_per_s = WIDTH * HEIGHT / dt
     return {
         "metric": f"rays_per_s_fwd_bwd_{backend}",
         "value": round(rays_per_s, 1),

@@ -1,0 +1,263 @@
+"""Sharded *production* training steps vs the single-chip jitted trainers.
+
+The distributed layer must train the real stage-1/stage-3 steps — full
+gated losses, SSIM, densify stats, texture-gradient psum — not demo
+losses.  These tests prove, on the virtual 8-device CPU mesh:
+
+* (data=1, tile=N): band-decomposed render + tile-psum'd gradients equal
+  the single-device step's gradients/params bit-for-fp-tolerance;
+* (data>1, tile>1): the data-axis pmean equals the manual mean of
+  per-camera gradients pushed through the same Adam update.
+"""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from texgs.config import load_config
+from texgs.core.state import init_from_pcd
+from texgs.data.synthetic import blob_point_cloud, orbit_cameras
+from texgs.dist.data_parallel import stack_cameras
+from texgs.dist.mesh import make_mesh
+from texgs.dist.sharded import stage1_sharded_step, stage3_sharded_step
+from texgs.render.render import render
+from texgs.train import densify, optim
+from texgs.train.gaussian3d import Gaussian3D, stage1_loss_terms
+from texgs.train.texture_gaussian3d import TextureGaussian3D
+from texgs.utils.logger import get_logger
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+S1_FLAGS = (True, True, False, False, True, False, True)
+S1_LAMBDAS = dict(dssim=0.2, alpha=1.0, opacity_reg=0.01, depth=0.0,
+                  norm=0.0, norm_smooth=0.5, norm_reg=0.0)
+
+
+def _scene(n=384, size=64, views=2, sh=1):
+    pcd = blob_point_cloud(n, seed=0)
+    state = init_from_pcd(pcd.points, pcd.colors, max_sh_degree=sh)
+    cams = orbit_cameras(views, radius=3.5, width=size, height=size)
+    gt = []
+    for c in cams:
+        out = render(c, xyz=state.xyz, opacity=state.get_opacity(),
+                     scaling=state.get_scaling(),
+                     rotation=state.get_rotation(),
+                     features=state.get_features(), active_sh_degree=sh,
+                     bg_color=jnp.zeros(3), backend="reference")
+        gt.append(dataclasses.replace(c, image=out["render"]))
+    return state, gt
+
+
+def _s1_args(state):
+    lrs = {k: jnp.float32(v) for k, v in dict(
+        xyz=1e-3, f_dc=2.5e-3, f_rest=1.25e-4, opacity=5e-2,
+        scaling=5e-3, rotation=1e-3).items()}
+    lambdas = {"bg": jnp.zeros(3),
+               **{k: jnp.float32(v) for k, v in S1_LAMBDAS.items()}}
+    return (optim.init(state.params_dict()),
+            densify.init_stats(state.capacity), lrs, lambdas)
+
+
+def _tree_allclose(a, b, atol, rtol=1e-5):
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), atol=atol, rtol=rtol), a, b)
+
+
+def _tree_allclose_where_grad(got, want, grads, atol):
+    """Params allclose on elements with non-negligible gradient.
+
+    Where the true gradient is ~0, band-order fp noise can flip sign(g)
+    and the first Adam step moves by exactly +-lr either way — a real,
+    benign ambiguity, not a sharding bug — so those elements are excluded.
+    """
+    def chk(x, y, g):
+        m = np.abs(np.asarray(g)) > 1e-6
+        np.testing.assert_allclose(np.asarray(x)[m], np.asarray(y)[m],
+                                   atol=atol, rtol=1e-5)
+    jax.tree.map(chk, got, want, grads)
+
+
+def _cam_loss(state, lambdas, flags=S1_FLAGS, sh=1):
+    """Production stage-1 loss as f(params, camera).
+
+    The camera must be a *traced* argument (not closed over): the blend
+    backward differentiates cumprod(1-alpha) — divisions by 1-alpha at the
+    0.99 clamp amplify reassociation noise up to ~30% of the gradient on
+    ill-conditioned Gaussians (the reference CUDA backward has the same
+    conditioning), so comparisons are only meaningful between programs
+    compiled with the same constant-folding structure."""
+    def f(params, cam):
+        st = state.replace(xyz=params["xyz"], features_dc=params["f_dc"],
+                           features_rest=params["f_rest"],
+                           opacity=params["opacity"],
+                           scaling=params["scaling"],
+                           rotation=params["rotation"])
+        out = render(cam, xyz=st.xyz, opacity=st.get_opacity(),
+                     scaling=st.get_scaling(), rotation=st.get_rotation(),
+                     features=st.get_features(), active_sh_degree=sh,
+                     bg_color=lambdas["bg"], backend="scan")
+        gt_alpha = jnp.ones((1,) + cam.image.shape[1:], cam.image.dtype)
+        loss, _ = stage1_loss_terms(out["render"], out["depth"], out["norm"],
+                                    out["alpha"], cam, cam.image, gt_alpha,
+                                    st.get_opacity(), flags, lambdas)
+        return loss
+    return f
+
+
+def test_stage1_sharded_tile_only_matches_single_step():
+    state, cams = _scene(views=1)
+    adam, stats, lrs, lambdas = _s1_args(state)
+    model = Gaussian3D.__new__(Gaussian3D)   # _train_step reads no self attrs
+    s1, a1, st1, loss1, d1 = Gaussian3D._train_step(
+        model, state, adam, stats, cams[0], lrs, lambdas,
+        jnp.asarray(True), S1_FLAGS, 1, None, "scan")
+
+    mesh = make_mesh(4, axis_names=("data", "tile"), shape=(1, 4))
+    s2, a2, st2, loss2, d2 = stage1_sharded_step(
+        mesh, state, adam, stats, stack_cameras(cams[:1]), lrs, lambdas,
+        jnp.asarray(True), S1_FLAGS, 1, backend="scan")
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    grads = jax.jit(jax.grad(_cam_loss(state, lambdas)))(
+        state.params_dict(), cams[0])
+    _tree_allclose_where_grad(s1.params_dict(), s2.params_dict(), grads,
+                              atol=2e-5)
+    _tree_allclose((a1.mu, a1.nu), (a2.mu, a2.nu), atol=2e-5)
+    # densify stats: band-psum'd ndc grads == single-chip stats
+    np.testing.assert_allclose(np.asarray(st2.xyz_gradient_accum),
+                               np.asarray(st1.xyz_gradient_accum), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st2.denom), np.asarray(st1.denom))
+    np.testing.assert_allclose(np.asarray(st2.max_radii2d),
+                               np.asarray(st1.max_radii2d))
+
+
+def test_stage1_sharded_2d_mesh_means_camera_grads():
+    state, cams = _scene(views=2)
+    adam, stats, lrs, lambdas = _s1_args(state)
+    mesh = make_mesh(8, axis_names=("data", "tile"), shape=(2, 4))
+    s2, a2, st2, loss2, d2 = stage1_sharded_step(
+        mesh, state, adam, stats, stack_cameras(cams[:2]), lrs, lambdas,
+        jnp.asarray(True), S1_FLAGS, 1, backend="scan")
+
+    # manual twin: mean of per-camera grads of the same production loss
+    # (camera traced — see the conditioning note on _cam_loss)
+    params = state.params_dict()
+    gfn = jax.jit(jax.grad(_cam_loss(state, lambdas)))
+    g0 = gfn(params, cams[0])
+    g1 = gfn(params, cams[1])
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2, g0, g1)
+    want_params, want_adam = optim.update(params, g_mean, adam, lrs)
+
+    _tree_allclose_where_grad(s2.params_dict(), want_params, g_mean,
+                              atol=2e-5)
+    _tree_allclose((a2.mu, a2.nu), (want_adam.mu, want_adam.nu), atol=2e-5)
+    lfn = jax.jit(_cam_loss(state, lambdas))
+    want_loss = (float(lfn(params, cams[0])) + float(lfn(params, cams[1]))) / 2
+    np.testing.assert_allclose(float(loss2), want_loss, rtol=1e-5)
+
+
+# ---------------------------------------------------------------- stage 3
+
+S3_FLAGS = (True, True, False, False, False, True, True, True, True)
+S3_APPLY = tuple(jnp.asarray(True) for _ in range(3))
+
+
+@pytest.fixture(scope="module")
+def s3_model():
+    cfg = load_config(os.path.join(CFG_DIR, "synthetic_texture.yaml"))
+    mc = cfg.model_cfg
+    mc.tex_cfg.resolution = 32
+    mc.tex_cfg.max_sh_degree = 1
+    mc.uvtex_m = 8
+    mc.backend = "scan"
+    mc.tex_backend = "xla"
+    mc.inv_uv_net_cfg.pre_mlp_cfg.hash_grid_cfg.n_levels = 4
+    log = get_logger("texgs-test")
+    model = TextureGaussian3D(mc, log, ".")
+
+    state, cams = _scene(n=256, size=48, views=2, sh=1)
+    n_cap = state.capacity
+    rng = np.random.default_rng(3)
+    model.n_alive = jnp.asarray(256, jnp.int32)
+    model.gauss_params = {
+        "xyz": state.xyz, "opacity": state.opacity,
+        "scaling": state.scaling, "rotation": state.rotation,
+        "shs": jnp.asarray(0.01 * rng.normal(size=(n_cap, 3, 3)),
+                           jnp.float32),
+    }
+    model.tex_params = {"texture": jnp.asarray(
+        0.1 * rng.normal(size=(6, 32, 32, 3)), jnp.float32)}
+    return model, cams
+
+
+def _s3_args(model):
+    lrs = {k: jnp.float32(v) for k, v in dict(
+        xyz=1e-4, opacity=5e-2, scaling=5e-3, rotation=1e-3, shs=1e-3,
+        uv_net=2e-5, inv_uv_net=2e-5, tex=2.5e-3).items()}
+    lambdas = {"bg": jnp.zeros(3), **{k: jnp.float32(v) for k, v in dict(
+        dssim=0.2, alpha=1.0, depth=0.0, norm=0.0, norm_reg=0.0,
+        norm_smooth=0.5, opacity_reg=0.01, no_sh=2.0,
+        inverse=0.1).items()}}
+    # seed nu so near-zero grads give near-zero updates (an unseeded first
+    # Adam step is lr*sign(g) — band-order fp noise could flip it)
+    def seeded(params):
+        a = optim.init(params)
+        return optim.AdamState(mu=a.mu,
+                               nu=jax.tree.map(lambda x: x + 1e-6, a.nu),
+                               count=a.count)
+    return (seeded(model.gauss_params), seeded(model.uv_params),
+            seeded(model.tex_params), lrs, lambdas)
+
+
+def test_stage3_sharded_tile_only_matches_single_step(s3_model):
+    model, cams = s3_model
+    adam_g, adam_uv, adam_tex, lrs, lambdas = _s3_args(model)
+    key = jax.random.PRNGKey(7)
+    single = TextureGaussian3D._train_step(
+        model, model.gauss_params, model.uv_params, model.tex_params,
+        adam_g, adam_uv, adam_tex, cams[0], key, lrs, lambdas, S3_APPLY,
+        S3_FLAGS, 1, 64, None)
+
+    mesh = make_mesh(4, axis_names=("data", "tile"), shape=(1, 4))
+    sharded = stage3_sharded_step(
+        mesh, (model._activated, model._uvs_and_jac), model.gauss_params,
+        model.uv_params, model.tex_params, adam_g, adam_uv, adam_tex,
+        stack_cameras(cams[:1]), key, lrs, lambdas, S3_APPLY, S3_FLAGS,
+        1, 64, model.cfg.uv_net_cfg, model.cfg.inv_uv_net_cfg,
+        backend="scan", tex_backend="xla", m=8)
+
+    (gp1, up1, tp1, ag1, au1, at1, loss1, st1) = single
+    (gp2, up2, tp2, ag2, au2, at2, loss2, st2) = sharded
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    # texture param: the cross-chip texture-gradient psum must reproduce
+    # the single-chip texel gradients
+    _tree_allclose(tp1, tp2, atol=2e-5)
+    _tree_allclose(gp1, gp2, atol=2e-5)
+    _tree_allclose(up1, up2, atol=2e-5)
+    _tree_allclose((ag1.mu, au1.mu, at1.mu), (ag2.mu, au2.mu, at2.mu),
+                   atol=2e-5)
+
+
+def test_stage3_sharded_2d_mesh_runs_and_is_finite(s3_model):
+    model, cams = s3_model
+    adam_g, adam_uv, adam_tex, lrs, lambdas = _s3_args(model)
+    key = jax.random.PRNGKey(7)
+    mesh = make_mesh(8, axis_names=("data", "tile"), shape=(2, 4))
+    (gp, up, tp, _, _, _, loss, stats) = stage3_sharded_step(
+        mesh, (model._activated, model._uvs_and_jac), model.gauss_params,
+        model.uv_params, model.tex_params, adam_g, adam_uv, adam_tex,
+        stack_cameras(cams[:2]), key, lrs, lambdas, S3_APPLY, S3_FLAGS,
+        1, 64, model.cfg.uv_net_cfg, model.cfg.inv_uv_net_cfg,
+        backend="scan", tex_backend="xla", m=8)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(tp["texture"])).all()
+    delta = float(jnp.abs(tp["texture"]
+                          - model.tex_params["texture"]).max())
+    assert delta > 0

@@ -1,0 +1,166 @@
+"""Windowed textile kernel vs the XLA sample_cubemap twin (fwd + VJP).
+
+The kernel-vs-reference-twin pattern (SURVEY.md §4) applied to the
+stage-3 texture term: texgs.kernels.pallas_textile must reproduce
+uvtex_raster.mlist_tex_term's outputs and gradients (w.r.t. the M-list
+slots and the texture) wherever its windows serve the requests; scenes
+engineered to overflow the windows must report misses.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from texgs.kernels.pallas_textile import make_cfg, tex_term_textile
+from texgs.kernels.uvtex_raster import mlist_tex_term
+
+H = W = 32          # 2x2 tiles of 16x16
+T, PIX, M = 4, 256, 8
+RES = 64
+
+
+def _random_mlist(seed=0, coherent=True, fill=0.6):
+    """Synthetic M-lists: per tile the slot uvs cluster around one
+    direction (coherent=True mimics a smooth trained UV map)."""
+    rng = np.random.default_rng(seed)
+    w = rng.uniform(0.01, 0.4, size=(T, PIX, M)).astype(np.float32)
+    w = w * (rng.uniform(size=w.shape) < fill)
+    if coherent:
+        centers = rng.normal(size=(T, 1, 1, 3))
+        centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+        dirs = centers + 0.08 * rng.normal(size=(T, PIX, M, 3))
+    else:
+        dirs = rng.normal(size=(T, PIX, M, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = np.where(w[..., None] > 0, dirs, 0.0)
+    return jnp.asarray(
+        np.concatenate([w[..., None], dirs], axis=-1).astype(np.float32))
+
+
+def _texture(seed=1):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(size=(6, RES, RES, 3)).astype(np.float32))
+
+
+@pytest.mark.parametrize("filter_mode", ["bilinear", "nearest"])
+def test_textile_forward_matches_twin(filter_mode):
+    mlist = _random_mlist()
+    tex = _texture()
+    want = mlist_tex_term(mlist, tex, H, W, filter_mode)
+    got, miss = tex_term_textile(mlist, tex, H, W, filter_mode)
+    assert int(miss) == 0, "coherent scene must fit the windows"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_textile_vjp_matches_twin():
+    # seed 0 is a zero-miss scene (checked below) — the VJP contract only
+    # holds when every request is served; on miss the caller falls back
+    mlist = _random_mlist(seed=0)
+    tex = _texture(seed=4)
+    assert int(tex_term_textile(mlist, tex, H, W)[1]) == 0
+    rng = np.random.default_rng(5)
+    cot = jnp.asarray(rng.normal(size=(3, H, W)).astype(np.float32))
+
+    def f_twin(ml, tx):
+        return jnp.sum(mlist_tex_term(ml, tx, H, W) * cot)
+
+    def f_fast(ml, tx):
+        img, _ = tex_term_textile(ml, tx, H, W)
+        return jnp.sum(img * cot)
+
+    g_ml_t, g_tex_t = jax.grad(f_twin, argnums=(0, 1))(mlist, tex)
+    g_ml_f, g_tex_f = jax.grad(f_fast, argnums=(0, 1))(mlist, tex)
+
+    np.testing.assert_allclose(np.asarray(g_tex_f), np.asarray(g_tex_t),
+                               atol=3e-5, rtol=1e-3)
+    # mlist grads compared on live slots only: the twin also propagates a
+    # w-cotangent into w=0 padding slots (C0 * tex at the zero direction),
+    # which the M-list VJP discards anyway (documented divergence)
+    live = np.asarray(mlist[..., 0]) > 0
+    np.testing.assert_allclose(np.asarray(g_ml_f)[live],
+                               np.asarray(g_ml_t)[live],
+                               atol=3e-5, rtol=1e-3)
+    # uv components of dead slots must be zero in both
+    assert np.abs(np.asarray(g_ml_f)[~live][..., 1:]).max() == 0.0
+
+
+def test_textile_reports_misses_on_incoherent_uvs():
+    # fully random uvs per slot: > 2 faces per tile and huge bboxes.
+    # miss_cap=0 disables the correction so raw misses surface.
+    mlist = _random_mlist(seed=7, coherent=False)
+    tex = _texture()
+    _, miss = tex_term_textile(mlist, tex, H, W, miss_cap=0)
+    assert int(miss) > 0
+
+
+def test_textile_miss_correction_exact():
+    """A coherent scene with a few rogue slots: the windowed kernel misses
+    them, the K-bounded correction resolves them through the twin's exact
+    sample_cubemap path — output and grads must match the twin while the
+    reported unserved count stays zero."""
+    rng = np.random.default_rng(11)
+    ml = np.array(_random_mlist(seed=0))
+    rogue = rng.normal(size=(6, 3))
+    rogue /= np.linalg.norm(rogue, axis=-1, keepdims=True)
+    for i in range(6):                      # scatter across tiles/pixels
+        t_i, p_i = i % T, (37 * i) % PIX
+        ml[t_i, p_i, 2, 0] = 0.3
+        ml[t_i, p_i, 2, 1:] = rogue[i]
+    mlist = jnp.asarray(ml)
+    tex = _texture(seed=12)
+    n_raw = int(tex_term_textile(mlist, tex, H, W, miss_cap=0)[1])
+    assert n_raw > 0, "rogue slots must miss the windows"
+
+    want = mlist_tex_term(mlist, tex, H, W)
+    got, unserved = tex_term_textile(mlist, tex, H, W)
+    assert int(unserved) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    cot = jnp.asarray(np.random.default_rng(13).normal(
+        size=(3, H, W)).astype(np.float32))
+    g_t = jax.grad(lambda m, tx: jnp.sum(
+        mlist_tex_term(m, tx, H, W) * cot), argnums=(0, 1))(mlist, tex)
+    g_f = jax.grad(lambda m, tx: jnp.sum(
+        tex_term_textile(m, tx, H, W)[0] * cot), argnums=(0, 1))(mlist, tex)
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_t[1]),
+                               atol=3e-5, rtol=1e-3)
+    live = np.asarray(mlist[..., 0]) > 0
+    np.testing.assert_allclose(np.asarray(g_f[0])[live],
+                               np.asarray(g_t[0])[live],
+                               atol=3e-5, rtol=1e-3)
+
+
+def test_textile_edge_clamp_gradients():
+    """Requests right at a face edge: clamped taps must zero the wx/wy
+    gradient exactly like the twin's clipped gather."""
+    rng = np.random.default_rng(9)
+    # directions very close to the +x face center column u ~ +-1 edges
+    base = np.array([1.0, 0.0, 0.0])
+    dirs = base + np.stack([np.zeros(16), np.linspace(-0.999, 0.999, 16),
+                            np.full(16, 0.9993)], axis=-1) * 1.0
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    ml = np.zeros((T, PIX, M, 4), np.float32)
+    ml[0, :16, 0, 0] = 0.5
+    ml[0, :16, 0, 1:] = dirs
+    mlist = jnp.asarray(ml)
+    tex = _texture(seed=10)
+    cot = jnp.ones((3, H, W), jnp.float32)
+
+    g_t = jax.grad(lambda m: jnp.sum(
+        mlist_tex_term(m, tex, H, W) * cot))(mlist)
+    g_f = jax.grad(lambda m: jnp.sum(
+        tex_term_textile(m, tex, H, W)[0] * cot))(mlist)
+    np.testing.assert_allclose(np.asarray(g_f)[0, :16, 0],
+                               np.asarray(g_t)[0, :16, 0],
+                               atol=3e-5, rtol=1e-3)
+
+
+def test_textile_cfg_geometry():
+    cfg = make_cfg(4, 8, 64)
+    assert cfg.w_rows == 64 and cfg.n_half == 1 and cfg.cols == 64
+    cfg = make_cfg(1900, 32, 1024)
+    assert cfg.w_rows == 72 and cfg.n_half == 2 and cfg.wc == 256
+    assert cfg.rq_rows == 64 and cfg.n_blocks == 8

@@ -84,6 +84,18 @@ class Cfg(dict):
         """Value if the key is present (even if falsy), else default."""
         return self[key] if key in self else default
 
+    def __hash__(self) -> int:
+        """Deep value hash consistent with dict equality, so a Cfg can be a
+        static jit argument (e.g. the net cfgs of dist.sharded steps)."""
+        def freeze(v: Any) -> Any:
+            if isinstance(v, Mapping):
+                return tuple(sorted((k, freeze(x)) for k, x in v.items()))
+            if isinstance(v, (list, tuple)):
+                return tuple(freeze(x) for x in v)
+            return v
+
+        return hash(freeze(self))
+
 
 def load_config(path: str | os.PathLike) -> Cfg:
     with open(path, "r") as f:

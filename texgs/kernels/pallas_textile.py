@@ -31,9 +31,10 @@ Design (validated primitive-by-primitive on v5e):
   outputs and all gradients (incl. the zero wx-gradient at face edges)
   match sample_cubemap's autodiff.
 * Requests whose face is not among the tile's two dominant faces, or whose
-  taps exceed the window, are counted; callers fall back to the exact XLA
-  path for the frame when the count is nonzero (rare after stage-2: UV maps
-  are smooth; early-training randomness is what the fallback is for).
+  taps exceed the window, are dropped by the kernel and folded back exactly
+  by a K-bounded XLA correction (nonzero-compaction + sample_cubemap on the
+  missed requests, ~1 ms); only when misses exceed the cap do callers fall
+  back to the exact whole-frame XLA path (early-training randomness).
 
 Runs in interpreter mode off-TPU; tests assert fwd+VJP allclose vs the XLA
 twin on both backends.
@@ -103,7 +104,12 @@ class TextilePrep(NamedTuple):
                            #                          | rowsame<<17
     step_tile: jnp.ndarray  # (S,) i32
     step_meta: jnp.ndarray  # (S,) i32 packed (see _pack_meta)
+    step_rows: jnp.ndarray  # (S * n_blocks,) i32: per-block window-row
+                            # footprint rmin | rmax<<8 (inclusive; empty
+                            # blocks pack 8|0<<8 so the group loop is
+                            # empty) | lane-half-usage bits << 16
     n_miss: jnp.ndarray     # () i32 requests not serviceable by windows
+    miss: jnp.ndarray       # (T, RQ, 128) bool: active & not served
 
 
 def _pack_meta(slot, first, face, y0, x0, blkbits):
@@ -203,6 +209,34 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
     bits_a = blkbits(fit_a)
     bits_b = blkbits(fit_b & ~fit_a)
 
+    # ---- per-(tile, slot, block) window-row footprints: the kernels loop
+    # only over rows a block actually references (typically a handful of
+    # the w_rows-row window)
+    def blk_rows(fitmask, y0s, x0s):
+        big = jnp.int32(1 << 29)
+        r0 = jnp.where(fitmask, yi0 - y0s[:, None, None], big)
+        r1 = jnp.where(fitmask, yi1 - y0s[:, None, None], -1)
+        rmin = jnp.min(r0.reshape(t, cfg.n_blocks, -1), axis=2)
+        rmax = jnp.max(r1.reshape(t, cfg.n_blocks, -1), axis=2)
+        empty = rmax < rmin
+        rmin = jnp.where(empty, 8, jnp.clip(rmin, 0, cfg.w_rows - 1))
+        rmax = jnp.where(empty, 0, jnp.clip(rmax, 0, cfg.w_rows - 1))
+        # lane-half usage bits (skip unused halves in-kernel)
+        if cfg.n_half > 1:
+            hh0 = (xi0 - x0s[:, None, None]) // 128
+            hh1 = (xi1 - x0s[:, None, None]) // 128
+            hbits = jnp.zeros((t, cfg.n_blocks), jnp.int32)
+            for h in range(cfg.n_half):
+                used = (fitmask & ((hh0 == h) | (hh1 == h))).reshape(
+                    t, cfg.n_blocks, -1).any(axis=2)
+                hbits |= used.astype(jnp.int32) << h
+        else:
+            hbits = jnp.ones((t, cfg.n_blocks), jnp.int32)
+        return (rmin | (rmax << 8) | (hbits << 16)).astype(jnp.int32)
+
+    rows_a = blk_rows(fit_a, y0_a, x0_a)
+    rows_b = blk_rows(fit_b & ~fit_a, y0_b, x0_b)
+
     # ---- step arrays, sorted by face so face blocks are visited in runs
     tiles = jnp.arange(t, dtype=jnp.int32)
     st_tile = jnp.concatenate([tiles, tiles, jnp.zeros(6, jnp.int32)])
@@ -213,6 +247,9 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
     st_y0 = jnp.concatenate([y0_a, y0_b, jnp.zeros(6, jnp.int32)])
     st_x0 = jnp.concatenate([x0_a, x0_b, jnp.zeros(6, jnp.int32)])
     st_bits = jnp.concatenate([bits_a, bits_b, jnp.zeros(6, jnp.int32)])
+    st_rows = jnp.concatenate(
+        [rows_a, rows_b,
+         jnp.broadcast_to(jnp.int32(8), (6, cfg.n_blocks))], axis=0)
 
     order = jnp.argsort(st_face, stable=True)
     st_tile = st_tile[order]
@@ -222,7 +259,9 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
     meta = _pack_meta(st_slot[order], first, st_face, st_y0[order],
                       st_x0[order], st_bits[order])
     return TextilePrep(wq=wq, wx=wx, wy=wy, widx=widx,
-                       step_tile=st_tile, step_meta=meta, n_miss=n_miss)
+                       step_tile=st_tile, step_meta=meta,
+                       step_rows=st_rows[order].reshape(-1), n_miss=n_miss,
+                       miss=active & ~served)
 
 
 # ------------------------------------------------------------- fwd kernel
@@ -236,23 +275,20 @@ def _unpack_meta(meta, cfg: TexTileCfg):
     return slot, first, y0, x0, bits
 
 
-def _load_window(tex_ref, y0, x0, cfg: TexTileCfg):
-    """-> win[ch][h]: (w_rows, 128) per channel per lane-half (lane-padded
-    when the face is narrower than 128)."""
-    win = []
+def _load_group3(tex_ref, y0, x0, gk, h, cfg: TexTileCfg):
+    """Aligned 8-row window group gk (dynamic), lane-half h (static) ->
+    3 channel (8, 128) groups.  Mosaic requires tile-aligned dynamic
+    loads: the group offset is a multiple of 8 sublanes / 128 lanes."""
+    xo = pl.multiple_of(x0 + h * 128 if cfg.n_half > 1 else x0, 128)
+    ka = pl.multiple_of(y0 + 8 * gk, 8)
+    grps = []
     for ch in range(3):
-        halves = []
-        for h in range(cfg.n_half):
-            blk = tex_ref[ch, 0, pl.ds(y0, cfg.w_rows),
-                          pl.ds(x0 + h * 128 if cfg.n_half > 1 else x0,
-                                cfg.cols)]
-            if cfg.cols < 128:
-                blk = jnp.concatenate(
-                    [blk, jnp.zeros((cfg.w_rows, 128 - cfg.cols),
-                                    blk.dtype)], axis=1)
-            halves.append(blk)
-        win.append(halves)
-    return win
+        grp = tex_ref[ch, 0, pl.ds(ka, 8), pl.ds(xo, cfg.cols)]
+        if cfg.cols < 128:
+            grp = jnp.concatenate(
+                [grp, jnp.zeros((8, 128 - cfg.cols), grp.dtype)], axis=1)
+        grps.append(grp)
+    return grps
 
 
 def _decode_block(wq, wx, wy, widx, slot, cfg: TexTileCfg):
@@ -270,56 +306,59 @@ def _decode_block(wq, wx, wy, widx, slot, cfg: TexTileCfg):
     return wqm, wx, wy, ly0, ly1, lx0, lx1
 
 
-def _gather_taps(win, ly0, ly1, lx0, lx1, cfg: TexTileCfg):
-    """4 bilinear taps per channel for one request block.
-
-    Returns t[ab][ch] with ab in (00, 01, 10, 11): t00/t01 at row ly0,
-    t10/t11 at row ly1; 0/1 suffix = lx0/lx1 column.
-    """
+def _split_cols(lx0, lx1, cfg: TexTileCfg):
+    """Window lane indices -> (half0, half1, col0, col1)."""
     if cfg.n_half > 1:
-        h0 = lx0 // 128
-        h1 = lx1 // 128
-        c0 = lx0 % 128
-        c1 = lx1 % 128
+        return lx0 // 128, lx1 // 128, lx0 % 128, lx1 % 128
+    z = jnp.zeros_like(lx0)
+    return z, z, lx0, lx1
+
+
+def _group_taps(grps, base, ly0, ly1, c0, c1, h0, h1, h, cfg: TexTileCfg):
+    """Masked bilinear taps of one 8-row group for an (8,128) request block.
+
+    Static 8-row loop: broadcast window row k to all sublanes, lane-gather
+    per request column (take_along_axis axis=1, a single-vreg op), mask by
+    row/half ownership.  (Chained row-then-column take_along_axis does NOT
+    compose to a 2D per-element gather — the column gather re-indexes the
+    row-gather output at a different request position.)  Each tap
+    accumulates in exactly one (group, half) iteration.  Returns
+    [(t00, t01, t10, t11)] per channel: rows ly0/ly1 x cols lx0/lx1."""
+    if cfg.n_half > 1:
+        ht0 = (h0 == h)
+        ht1 = (h1 == h)
     else:
-        c0, c1 = lx0, lx1
-    taps = [[jnp.zeros(ly0.shape, jnp.float32) for _ in range(3)]
-            for _ in range(4)]
-    for k in range(cfg.w_rows):
-        m0 = ly0 == k
-        m1 = ly1 == k
-        for h in range(cfg.n_half):
-            if cfg.n_half > 1:
-                m0h0 = (m0 & (h0 == h)).astype(jnp.float32)
-                m0h1 = (m0 & (h1 == h)).astype(jnp.float32)
-                m1h0 = (m1 & (h0 == h)).astype(jnp.float32)
-                m1h1 = (m1 & (h1 == h)).astype(jnp.float32)
-            else:
-                m0h0 = m0h1 = m0.astype(jnp.float32)
-                m1h0 = m1h1 = m1.astype(jnp.float32)
-            for ch in range(3):
-                rowk = jnp.broadcast_to(win[ch][h][k:k + 1, :], ly0.shape)
-                g0 = jnp.take_along_axis(rowk, c0, axis=1)
-                g1 = jnp.take_along_axis(rowk, c1, axis=1)
-                taps[0][ch] += m0h0 * g0
-                taps[1][ch] += m0h1 * g1
-                taps[2][ch] += m1h0 * g0
-                taps[3][ch] += m1h1 * g1
+        ht0 = ht1 = True
+    taps = [[jnp.zeros((8, 128), jnp.float32) for _ in range(4)]
+            for _ in range(3)]
+    for r in range(8):
+        k = base + r
+        m00 = ((ly0 == k) & ht0).astype(jnp.float32)
+        m01 = ((ly0 == k) & ht1).astype(jnp.float32)
+        m10 = ((ly1 == k) & ht0).astype(jnp.float32)
+        m11 = ((ly1 == k) & ht1).astype(jnp.float32)
+        for ch in range(3):
+            row = jnp.broadcast_to(grps[ch][r:r + 1, :], (8, 128))
+            g0 = jnp.take_along_axis(row, c0, axis=1)
+            g1 = jnp.take_along_axis(row, c1, axis=1)
+            taps[ch][0] += m00 * g0
+            taps[ch][1] += m01 * g1
+            taps[ch][2] += m10 * g0
+            taps[ch][3] += m11 * g1
     return taps
 
 
-def _fwd_kernel(tile_ref, meta_ref, tex_ref, wq_ref, wx_ref, wy_ref,
-                widx_ref, out_ref, *, cfg: TexTileCfg):
+def _fwd_kernel(tile_ref, meta_ref, rows_ref, tex_ref, wq_ref, wx_ref,
+                wy_ref, widx_ref, out_ref, acc_ref, *, cfg: TexTileCfg):
     s = pl.program_id(0)
     slot, _first, y0, x0, bits = _unpack_meta(meta_ref[s], cfg)
     out_ref[0] = jnp.zeros_like(out_ref[0])
 
     @pl.when(bits != 0)
     def _():
-        win = _load_window(tex_ref, y0, x0, cfg)
         row_par = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) % 2
         for b in range(cfg.n_blocks):
-            # accumulate via the ref: pl.when bodies only persist ref writes
+            # accumulate via refs: pl.when bodies only persist ref writes
             @pl.when(((bits >> b) & 1) != 0)
             def _():
                 r0 = 8 * b
@@ -327,14 +366,35 @@ def _fwd_kernel(tile_ref, meta_ref, tex_ref, wq_ref, wx_ref, wy_ref,
                     wq_ref[0, r0:r0 + 8, :], wx_ref[0, r0:r0 + 8, :],
                     wy_ref[0, r0:r0 + 8, :], widx_ref[0, r0:r0 + 8, :],
                     slot, cfg)
-                taps = _gather_taps(win, ly0, ly1, lx0, lx1, cfg)
-                fy0 = wqm * (1.0 - wy)
-                fy1 = wqm * wy
+                h0, h1, c0, c1 = _split_cols(lx0, lx1, cfg)
+                bounds = rows_ref[s * cfg.n_blocks + b]
+                gmin = (bounds & 0xFF) // 8
+                gmax = ((bounds >> 8) & 0xFF) // 8
+                hbits = (bounds >> 16) & 3
+                omwx = 1.0 - wx
+                omwy = 1.0 - wy
+                acc_ref[...] = jnp.zeros((3, 8, 128), jnp.float32)
+
+                # dynamic loop over the 8-row groups the block references
+                # (typically 1-3 of w_rows/8), static rows within
+                def body(gk, carry):
+                    base = 8 * gk
+                    for h in range(cfg.n_half):
+                        @pl.when(((hbits >> h) & 1) != 0)
+                        def _():
+                            grps = _load_group3(tex_ref, y0, x0, gk, h, cfg)
+                            taps = _group_taps(grps, base, ly0, ly1, c0, c1,
+                                               h0, h1, h, cfg)
+                            for ch, (t00, t01, t10, t11) in enumerate(taps):
+                                acc_ref[ch] += (
+                                    omwy * (omwx * t00 + wx * t01)
+                                    + wy * (omwx * t10 + wx * t11))
+                    return carry
+
+                jax.lax.fori_loop(gmin, gmax + 1, body, 0)
                 rows = []
                 for ch in range(3):
-                    top = (1.0 - wx) * taps[0][ch] + wx * taps[1][ch]
-                    bot = (1.0 - wx) * taps[2][ch] + wx * taps[3][ch]
-                    val = fy0 * top + fy1 * bot           # (8, 128)
+                    val = wqm * acc_ref[ch]               # (8, 128)
                     even = jnp.sum(jnp.where(row_par == 0, val, 0.0),
                                    axis=0, keepdims=True)
                     odd = jnp.sum(jnp.where(row_par == 1, val, 0.0),
@@ -346,9 +406,10 @@ def _fwd_kernel(tile_ref, meta_ref, tex_ref, wq_ref, wx_ref, wy_ref,
 
 # ------------------------------------------------------------- bwd kernel
 
-def _bwd_kernel(tile_ref, meta_ref, tex_ref, wq_ref, wx_ref, wy_ref,
-                widx_ref, wqr_ref, wxr_ref, wyr_ref, widxr_ref, g_ref,
-                dwq_ref, dwx_ref, dwy_ref, dtex_ref, *, cfg: TexTileCfg):
+def _bwd_kernel(tile_ref, meta_ref, rows_ref, tex_ref, wq_ref, wx_ref,
+                wy_ref, widx_ref, wqr_ref, wxr_ref, wyr_ref, widxr_ref,
+                g_ref, gr_ref, dwq_ref, dwx_ref, dwy_ref, dtex_ref,
+                tap_ref, *, cfg: TexTileCfg):
     s = pl.program_id(0)
     slot, first, y0, x0, bits = _unpack_meta(meta_ref[s], cfg)
 
@@ -362,16 +423,14 @@ def _bwd_kernel(tile_ref, meta_ref, tex_ref, wq_ref, wx_ref, wy_ref,
 
     @pl.when(bits != 0)
     def _():
-        win = _load_window(tex_ref, y0, x0, cfg)
         g = g_ref[0]                                   # (8, 128) pixel cot.
         # per-request upstream gradient rows: block rows alternate
         # even/odd pixel halves -> (8, 128) per channel
         gb = [jnp.concatenate([g[2 * ch:2 * ch + 2, :]] * 4, axis=0)
               for ch in range(3)]
-        # row-layout (1, 1024) equivalents for the scatter matmuls
-        gr = [jnp.concatenate(
-            [g[2 * ch:2 * ch + 1, :], g[2 * ch + 1:2 * ch + 2, :]] * 4,
-            axis=1) for ch in range(3)]
+        # row-layout (1, 1024) equivalents for the scatter matmuls —
+        # precomputed in XLA (Mosaic cannot lane-concat row slices)
+        gr = [gr_ref[0, ch:ch + 1, :] for ch in range(3)]
 
         n_rows = cfg.w_rows
         sub_rows = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1024), 0)
@@ -387,25 +446,52 @@ def _bwd_kernel(tile_ref, meta_ref, tex_ref, wq_ref, wx_ref, wy_ref,
                     wq_ref[0, r0:r0 + 8, :], wx_ref[0, r0:r0 + 8, :],
                     wy_ref[0, r0:r0 + 8, :], widx_ref[0, r0:r0 + 8, :],
                     slot, cfg)
-                taps = _gather_taps(win, ly0, ly1, lx0, lx1, cfg)
+                h0, h1, c0, c1 = _split_cols(lx0, lx1, cfg)
+                bounds = rows_ref[s * cfg.n_blocks + b]
+                gmin = (bounds & 0xFF) // 8
+                gmax = ((bounds >> 8) & 0xFF) // 8
+                hbits = (bounds >> 16) & 3
+                omwx = 1.0 - wx
+                omwy = 1.0 - wy
+                tap_ref[...] = jnp.zeros((12, 8, 128), jnp.float32)
 
-                # cotangents of wq / wx / wy (match twin autodiff exactly:
-                # clamped taps coincide, so differences vanish at edges)
-                dwq = jnp.zeros((8, 128), jnp.float32)
-                dwx = jnp.zeros((8, 128), jnp.float32)
-                dwy = jnp.zeros((8, 128), jnp.float32)
+                # gather the 4 bilinear taps per request (masks select the
+                # single (row, half) each tap lives at) with the same 8-row
+                # group loop as the fwd kernel; the wq/wx/wy cotangents are
+                # then closed-form in the taps — this matches the twin's
+                # autodiff exactly (clamped taps coincide at edges, so the
+                # wx/wy cotangent differences vanish there)
+                def body(gk, carry):
+                    base = 8 * gk
+                    for h in range(cfg.n_half):
+                        @pl.when(((hbits >> h) & 1) != 0)
+                        def _():
+                            grps = _load_group3(tex_ref, y0, x0, gk, h, cfg)
+                            taps = _group_taps(grps, base, ly0, ly1, c0, c1,
+                                               h0, h1, h, cfg)
+                            for ch, tt in enumerate(taps):
+                                for i in range(4):
+                                    tap_ref[4 * ch + i] += tt[i]
+                    return carry
+
+                jax.lax.fori_loop(gmin, gmax + 1, body, 0)
+                zero = jnp.zeros((8, 128), jnp.float32)
+                dq, dx, dy = zero, zero, zero
                 for ch in range(3):
-                    top = (1.0 - wx) * taps[0][ch] + wx * taps[1][ch]
-                    bot = (1.0 - wx) * taps[2][ch] + wx * taps[3][ch]
-                    dwq += gb[ch] * ((1.0 - wy) * top + wy * bot)
-                    dwx += gb[ch] * wqm * (
-                        (1.0 - wy) * (taps[1][ch] - taps[0][ch])
-                        + wy * (taps[3][ch] - taps[2][ch]))
-                    dwy += gb[ch] * wqm * (bot - top)
+                    t00 = tap_ref[4 * ch + 0]
+                    t01 = tap_ref[4 * ch + 1]
+                    t10 = tap_ref[4 * ch + 2]
+                    t11 = tap_ref[4 * ch + 3]
+                    dq = dq + gb[ch] * (omwy * (omwx * t00 + wx * t01)
+                                        + wy * (omwx * t10 + wx * t11))
+                    dx = dx + gb[ch] * (omwy * (t01 - t00)
+                                        + wy * (t11 - t10))
+                    dy = dy + gb[ch] * (omwx * (t10 - t00)
+                                        + wx * (t11 - t01))
                 mvalid = (wqm != 0.0).astype(jnp.float32)
-                dwq_ref[0, r0:r0 + 8, :] = dwq * mvalid
-                dwx_ref[0, r0:r0 + 8, :] = dwx * mvalid
-                dwy_ref[0, r0:r0 + 8, :] = dwy * mvalid
+                dwq_ref[0, r0:r0 + 8, :] = dq * mvalid
+                dwx_ref[0, r0:r0 + 8, :] = dx * wqm * mvalid
+                dwy_ref[0, r0:r0 + 8, :] = dy * wqm * mvalid
 
                 # ---- separable scatter (row layout): one matmul/channel
                 wqr, wxr, wyr, ly0r, ly1r, lx0r, lx1r = _decode_block(
@@ -415,16 +501,19 @@ def _bwd_kernel(tile_ref, meta_ref, tex_ref, wq_ref, wx_ref, wy_ref,
                       + jnp.where(ly1r == sub_rows, 1.0, 0.0) * wyr)
                 cxw = (jnp.where(lx0r == sub_lanes, 1.0, 0.0) * (1.0 - wxr)
                        + jnp.where(lx1r == sub_lanes, 1.0, 0.0) * wxr)
-                ry_b = ry.astype(jnp.bfloat16)
+                # ry carries (1-wy)/wy fractions — NOT bf16-exact — so it
+                # needs the same hi/lo split as x (drop the ~2^-16 lo*lo)
+                ryh = ry.astype(jnp.bfloat16)
+                ryl = (ry - ryh.astype(jnp.float32)).astype(jnp.bfloat16)
                 for ch in range(3):
                     x_full = cxw * (wqr * gr[ch])
                     xh = x_full.astype(jnp.bfloat16)
                     xl = (x_full - xh.astype(jnp.float32)).astype(
                         jnp.bfloat16)
-                    mm = lambda bb: jax.lax.dot_general(
-                        ry_b, bb, (((1,), (1,)), ((), ())),
+                    mm = lambda aa, bb: jax.lax.dot_general(
+                        aa, bb, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    gw = mm(xh) + mm(xl)     # (w_rows, n_half*128)
+                    gw = mm(ryh, xh) + mm(ryh, xl) + mm(ryl, xh)
                     for h in range(cfg.n_half):
                         xo = pl.multiple_of(
                             x0 + h * 128 if cfg.n_half > 1 else x0, 128)
@@ -437,22 +526,22 @@ def _bwd_kernel(tile_ref, meta_ref, tex_ref, wq_ref, wx_ref, wy_ref,
 
 def _specs(cfg: TexTileCfg, with_rows: bool):
     rq = cfg.rq_rows
-    tile_idx = lambda s, tl, mt: (tl[s], 0, 0)
+    tile_idx = lambda s, tl, mt, rw: (tl[s], 0, 0)
     req_spec = pl.BlockSpec((1, rq, 128), tile_idx,
                             memory_space=pltpu.VMEM)
     reqr_spec = pl.BlockSpec((1, cfg.n_blocks, 1, 1024),
-                             lambda s, tl, mt: (tl[s], 0, 0, 0),
+                             lambda s, tl, mt, rw: (tl[s], 0, 0, 0),
                              memory_space=pltpu.VMEM)
     tex_spec = pl.BlockSpec(
         (3, 1, cfg.res, cfg.res),
-        lambda s, tl, mt: (0, (mt[s] >> 2) & 7, 0, 0),
+        lambda s, tl, mt, rw: (0, (mt[s] >> 2) & 7, 0, 0),
         memory_space=pltpu.VMEM)
     return tex_spec, req_spec, reqr_spec
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def textile_apply(cfg: TexTileCfg, wq, wx, wy, widx, tex_planar,
-                  step_tile, step_meta):
+                  step_tile, step_meta, step_rows):
     """Pixel-summed texture term per tile: (T, 8, 128) packed as rows
     [ch0 even, ch0 odd, ch1 even, ch1 odd, ch2 even, ch2 odd, pad, pad]
     where even/odd = pixel halves p < 128 / p >= 128.
@@ -460,18 +549,19 @@ def textile_apply(cfg: TexTileCfg, wq, wx, wy, widx, tex_planar,
     tex_planar: (3, 6, R, R) f32.  Differentiable in wq/wx/wy/tex_planar.
     """
     return _textile_fwd_call(cfg, wq, wx, wy, widx, tex_planar, step_tile,
-                             step_meta)
+                             step_meta, step_rows)
 
 
 def _textile_fwd_call(cfg, wq, wx, wy, widx, tex_planar, step_tile,
-                      step_meta):
+                      step_meta, step_rows):
     tex_spec, req_spec, _ = _specs(cfg, False)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(cfg.n_steps,),
         in_specs=[tex_spec, req_spec, req_spec, req_spec, req_spec],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda s, tl, mt: (s, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda s, tl, mt, rw: (s, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((3, 8, 128), jnp.float32)],
     )
     partials = pl.pallas_call(
         functools.partial(_fwd_kernel, cfg=cfg),
@@ -480,38 +570,48 @@ def _textile_fwd_call(cfg, wq, wx, wy, widx, tex_planar, step_tile,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
-    )(step_tile, step_meta, tex_planar, wq, wx, wy, widx)
+    )(step_tile, step_meta, step_rows, tex_planar, wq, wx, wy, widx)
     out = jnp.zeros((cfg.n_tiles, 8, 128), jnp.float32)
     return out.at[step_tile].add(partials)
 
 
-def _textile_fwd(cfg, wq, wx, wy, widx, tex_planar, step_tile, step_meta):
+def _textile_fwd(cfg, wq, wx, wy, widx, tex_planar, step_tile, step_meta,
+                 step_rows):
     out = _textile_fwd_call(cfg, wq, wx, wy, widx, tex_planar, step_tile,
-                            step_meta)
-    return out, (wq, wx, wy, widx, tex_planar, step_tile, step_meta)
+                            step_meta, step_rows)
+    return out, (wq, wx, wy, widx, tex_planar, step_tile, step_meta,
+                 step_rows)
 
 
 def _textile_bwd(cfg, res, g):
-    wq, wx, wy, widx, tex_planar, step_tile, step_meta = res
+    wq, wx, wy, widx, tex_planar, step_tile, step_meta, step_rows = res
     rq = cfg.rq_rows
     # row-layout views (free reshapes of the same buffers)
     as_rows = lambda a: a.reshape(a.shape[0], cfg.n_blocks, 1, 1024)
     tex_spec, req_spec, reqr_spec = _specs(cfg, True)
-    g_spec = pl.BlockSpec((1, 8, 128), lambda s, tl, mt: (tl[s], 0, 0),
+    g_spec = pl.BlockSpec((1, 8, 128), lambda s, tl, mt, rw: (tl[s], 0, 0),
                           memory_space=pltpu.VMEM)
-    out_req = pl.BlockSpec((1, rq, 128), lambda s, tl, mt: (s, 0, 0),
+    gr_spec = pl.BlockSpec((1, 3, 1024), lambda s, tl, mt, rw: (tl[s], 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_req = pl.BlockSpec((1, rq, 128), lambda s, tl, mt, rw: (s, 0, 0),
                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(cfg.n_steps,),
         in_specs=[tex_spec, req_spec, req_spec, req_spec, req_spec,
-                  reqr_spec, reqr_spec, reqr_spec, reqr_spec, g_spec],
+                  reqr_spec, reqr_spec, reqr_spec, reqr_spec, g_spec,
+                  gr_spec],
         out_specs=[out_req, out_req, out_req,
                    pl.BlockSpec((3, 1, cfg.res, cfg.res),
-                                lambda s, tl, mt: (0, (mt[s] >> 2) & 7,
+                                lambda s, tl, mt, rw: (0, (mt[s] >> 2) & 7,
                                                    0, 0),
                                 memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((12, 8, 128), jnp.float32)],
     )
+    # row-layout upstream gradient: g_rows[t, ch, j] = g[t, 2ch + parity, l]
+    # with parity = (j // 128) % 2 — pattern [even(128), odd(128)] x 4,
+    # matching the request-row parity inside each 8-row block
+    g_rows = jnp.tile(g[:, :6, :].reshape(g.shape[0], 3, 256), (1, 1, 4))
     dwq_s, dwx_s, dwy_s, dtex = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg),
         grid_spec=grid_spec,
@@ -524,15 +624,15 @@ def _textile_bwd(cfg, res, g):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
-    )(step_tile, step_meta, tex_planar, wq, wx, wy, widx,
-      as_rows(wq), as_rows(wx), as_rows(wy), as_rows(widx), g)
+    )(step_tile, step_meta, step_rows, tex_planar, wq, wx, wy, widx,
+      as_rows(wq), as_rows(wx), as_rows(wy), as_rows(widx), g, g_rows)
 
     def collect(d_steps):
         out = jnp.zeros((cfg.n_tiles, rq, 128), jnp.float32)
         return out.at[step_tile].add(d_steps)
 
     return (collect(dwq_s), collect(dwx_s), collect(dwy_s), None, dtex,
-            None, None)
+            None, None, None)
 
 
 textile_apply.defvjp(_textile_fwd, _textile_bwd)
@@ -540,25 +640,98 @@ textile_apply.defvjp(_textile_fwd, _textile_bwd)
 
 # ------------------------------------------------------------- public API
 
-def tex_term_textile(mlist: jnp.ndarray, texture: jnp.ndarray,
-                     height: int, width: int,
-                     filter_mode: str = "bilinear"):
-    """(T, PIX, M, 4) M-lists + (6, R, R, 3) cubemap -> ((3, H, W) texture
-    color term, miss count).  Drop-in for uvtex_raster.mlist_tex_term with
-    an extra diagnostics return; callers cond-fallback to the XLA path when
-    miss > 0 (exactness guarantee)."""
+def _tiles_to_image(vals: jnp.ndarray, height: int, width: int):
+    """(T, 3, PIX) per-tile channel values -> (3, H, W)."""
     from texgs.kernels.binning import grid_shape
     from texgs.kernels.reference import TILE
 
+    gy, gx = grid_shape(height, width)
+    img = vals.reshape(gy, gx, 3, TILE, TILE)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(3, gy * TILE, gx * TILE)
+    return img[:, :height, :width]
+
+
+def miss_correction(mlist: jnp.ndarray, texture: jnp.ndarray,
+                    miss: jnp.ndarray, miss_cap: int,
+                    filter_mode: str) -> jnp.ndarray:
+    """Exact additive term for up to miss_cap window-missed requests.
+
+    The windowed kernel zeroes unserved requests (wq=0); this compacts
+    their flat ids (stop-grad) and resolves each through the exact
+    sample_cubemap path the XLA twin uses — so kernel + correction equals
+    the twin to fp accuracy whenever n_miss <= miss_cap, and the brutal
+    whole-frame fallback is needed only past the cap.
+
+    The compaction is hierarchical: a flat nonzero over the ~10M-request
+    lattice is a latency-bound scatter (~140 ms measured); instead a
+    block-any reduction (bandwidth) shrinks the lattice to (8,128)-block
+    granularity, a small nonzero picks the missing blocks (cap: miss_cap
+    // 32, enough for the worst packing of miss_cap misses), and a second
+    small nonzero resolves requests within them.  Returns ((T, 3, PIX)
+    correction, number of requests actually resolved) — callers treat
+    n_miss - n_resolved > 0 as overflow (whole-frame fallback)."""
+    from texgs.kernels.cubemap import sample_cubemap
+
+    t, pix, m, _ = mlist.shape
+    rq = 2 * m
+    blk = 8 * 128
+    n_blocks = t * rq * 128 // blk
+    kb = max(miss_cap // 32, 8)
+    flat = jax.lax.stop_gradient(miss).reshape(n_blocks, blk)
+    blk_any = flat.any(axis=1)
+    (bids,) = jnp.nonzero(blk_any, size=kb, fill_value=n_blocks)
+    bvalid = bids < n_blocks
+    bidc = jnp.minimum(bids, n_blocks - 1)
+    sub = flat[bidc] & bvalid[:, None]                   # (KB, 1024)
+    (sids,) = jnp.nonzero(sub.reshape(-1), size=miss_cap,
+                          fill_value=kb * blk)
+    valid = (sids < kb * blk).astype(texture.dtype)
+    sidc = jnp.minimum(sids, kb * blk - 1)
+    ids = bidc[sidc // blk] * blk + sidc % blk           # flat lattice ids
+    # slot-major request lattice (see TextilePrep): row r = slot*2 + p//128
+    tid = ids // (rq * 128)
+    rem = ids % (rq * 128)
+    slot_m = (rem // 128) // 2
+    p = ((rem // 128) % 2) * 128 + rem % 128
+    w = mlist[tid, p, slot_m, 0]
+    dirs = mlist[tid, p, slot_m, 1:4]
+    val = sample_cubemap(texture, dirs, filter_mode)     # (K, 3)
+    contrib = (C0 * w * valid)[:, None] * val
+    out = jnp.zeros((t, pix, 3), texture.dtype).at[tid, p].add(contrib)
+    n_resolved = jnp.minimum(jnp.sum(sub.astype(jnp.int32)),
+                             jnp.int32(miss_cap))
+    return out.transpose(0, 2, 1), n_resolved
+
+
+def tex_term_textile(mlist: jnp.ndarray, texture: jnp.ndarray,
+                     height: int, width: int,
+                     filter_mode: str = "bilinear",
+                     miss_cap: int = 4096):
+    """(T, PIX, M, 4) M-lists + (6, R, R, 3) cubemap -> ((3, H, W) texture
+    color term, miss count).  Drop-in for uvtex_raster.mlist_tex_term with
+    an extra diagnostics return.  Up to miss_cap window-missed requests
+    are folded back exactly via miss_correction; callers need the
+    whole-frame XLA fallback only when miss > miss_cap."""
     t, pix, m, _ = mlist.shape
     cfg = make_cfg(t, m, texture.shape[1])
     prep = textile_prep(mlist, cfg, filter_mode)
     tex_planar = jnp.moveaxis(texture, -1, 0)           # (3, 6, R, R)
     out = textile_apply(cfg, prep.wq, prep.wx, prep.wy, prep.widx,
-                        tex_planar, prep.step_tile, prep.step_meta)
-    # (T, 8, 128) -> (T, PIX, 3) -> (3, H, W)
+                        tex_planar, prep.step_tile, prep.step_meta,
+                        prep.step_rows)
     vals = out[:, :6, :].reshape(t, 3, 2 * 128)          # (T, ch, PIX)
-    gy, gx = grid_shape(height, width)
-    img = vals.reshape(gy, gx, 3, TILE, TILE)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(3, gy * TILE, gx * TILE)
-    return img[:, :height, :width], prep.n_miss
+    if miss_cap > 0:
+        # cond-gated: the correction runs only on frames that actually
+        # missed — the zero-miss hot path pays nothing
+        def corr(ml, tx, v):
+            add, n_res = miss_correction(ml, tx, prep.miss, miss_cap,
+                                         filter_mode)
+            return v + add, n_res
+        vals, n_resolved = jax.lax.cond(
+            prep.n_miss > 0, corr,
+            lambda ml, tx, v: (v, jnp.int32(0)),
+            mlist, texture, vals)
+        n_over = prep.n_miss - n_resolved
+    else:
+        n_over = prep.n_miss
+    return _tiles_to_image(vals, height, width), n_over

@@ -335,14 +335,15 @@ mlist_pairs.defvjp(_mlist_fwd, _mlist_bwd)
 
 
 def mlist_pallas(attrs, uv_rows_t, pairs: PairList, camera, chunk: int,
-                 m: int):
+                 m: int, height: int = None, row_offset=None):
     """Drop-in replacement for uvtex_raster.mlist_scan.
 
     uv_rows_t: (U_ROWS, cap) transposed uv table.  Returns (T, PIX, M, 4).
     """
     from texgs.kernels.uvtex_raster import ray_constants
 
-    gy, gx = grid_shape(camera.height, camera.width)
+    gy, gx = grid_shape(camera.height if height is None else height,
+                        camera.width)
     n_tiles = gy * gx
 
     chunk_tile = jax.lax.stop_gradient(pairs.chunk_tile)
@@ -354,7 +355,7 @@ def mlist_pallas(attrs, uv_rows_t, pairs: PairList, camera, chunk: int,
     flags = live | (first << 1) | (txi << 2) | (tyi << 12)
     safe = _safe_tiles(chunk_tile)
 
-    ax, by, c0 = ray_constants(camera)
+    ax, by, c0 = ray_constants(camera, row_offset)
     cam_consts = jnp.zeros((8, 128), jnp.float32)
     cam_consts = cam_consts.at[0, 0:3].set(ax)
     cam_consts = cam_consts.at[0, 3:6].set(by)

@@ -47,6 +47,10 @@ class RasterOutput(NamedTuple):
     # retry at a larger cap, see texgs.train.pair_cap).
     n_pairs: Optional[jnp.ndarray] = None     # () int32
     overflowed: Optional[jnp.ndarray] = None  # () bool
+    # Textile diagnostics (uvtex + tex_backend='textile' only): requests the
+    # windowed kernel could not serve this frame (frame fell back to the
+    # exact XLA tap path when > 0).
+    tex_miss: Optional[jnp.ndarray] = None    # () int32
 
 
 def tile_rect(means2d: jnp.ndarray, radii: jnp.ndarray, width: int, height: int):

@@ -91,17 +91,24 @@ def build_uvtex_tables(xyz, scaling, rotation, uvs, grad_uvs,
     return UVTexTables(sv=sv, siginv=siginv, base_uv=base_uv, jmat=jmat)
 
 
-def ray_constants(camera: Camera):
+def ray_constants(camera: Camera, row_offset=None):
     """d(px, py) = C + px*A + py*B (world, unnormalized).
 
     ndc = (2 p + 1)/S - 1; d_cam = (ndc_x tanfovx, ndc_y tanfovy, 1);
-    d_world = Wmat @ d_cam with Wmat = world_view[:3, :3] (= R_c2w)."""
+    d_world = Wmat @ d_cam with Wmat = world_view[:3, :3] (= R_c2w).
+
+    row_offset (traced ok): band rendering shifts pixel rows so py is
+    band-local; folding the offset into C keeps every downstream ray
+    formula unchanged (texgs.dist band sharding).
+    """
     Wm = camera.world_view[:3, :3]
     w, h = camera.width, camera.height
     ax = Wm @ jnp.array([2.0 * camera.tanfovx / w, 0.0, 0.0])
     by = Wm @ jnp.array([0.0, 2.0 * camera.tanfovy / h, 0.0])
     c0 = Wm @ jnp.array([camera.tanfovx * (1.0 / w - 1.0),
                          camera.tanfovy * (1.0 / h - 1.0), 1.0])
+    if row_offset is not None:
+        c0 = c0 + jnp.asarray(row_offset, jnp.float32) * by
     return ax, by, c0
 
 
@@ -211,18 +218,20 @@ def _cumsum_excl(x):
 
 
 def mlist_scan(attrs: jnp.ndarray, uv_rows: jnp.ndarray, pairs: PairList,
-               camera: Camera, chunk: int, m: int):
+               camera: Camera, chunk: int, m: int, height: int = None,
+               row_offset=None):
     """Per-pixel first-M contribution lists via lax.scan over chunks.
 
     attrs: (A, cap) standard blend attributes (for the weights replay);
     uv_rows: (cap, 21) per-pair [sv(3), siginv(6), base_uv(3), J(9)].
     Returns (T, PIX, M, 4): [w, uvx, uvy, uvz] per slot.
     """
-    gy, gx = grid_shape(camera.height, camera.width)
+    gy, gx = grid_shape(camera.height if height is None else height,
+                        camera.width)
     n_tiles = gy * gx
     n_chunks = pairs.n_chunks
     basis = tile_basis(attrs.dtype)
-    ax, by, c0 = ray_constants(camera)
+    ax, by, c0 = ray_constants(camera, row_offset)
 
     idx = jnp.arange(PIX)
     xl = (idx % TILE).astype(jnp.float32)
@@ -335,13 +344,22 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
                     pair_cap: Optional[int] = None, chunk: int = 128,
                     m: int = 32, normalize_depth: bool = True,
                     filter_mode: str = "bilinear",
-                    backend: str = "auto") -> RasterOutput:
+                    backend: str = "auto",
+                    tex_backend: str = "auto",
+                    row_offset=None,
+                    band_height: Optional[int] = None) -> RasterOutput:
     """Full UV-texture rasterization.
 
     proj must carry zero colors (the base SH residual is injected here).
     backend: 'auto'/'reference' (dense oracle) or 'scan'/'pallas' (chunked;
     blend channels use the named kernel, M-lists use the scan path until the
     Pallas M-list kernel lands).
+    tex_backend: how the texture term resolves the M-list cubemap taps —
+    'xla' (per-tap gathers, exact, latency-bound on TPU) or 'textile'
+    (windowed-VMEM Pallas fetch/scatter; up to 4096 window-missed requests
+    per frame are folded back exactly by a compacted XLA correction, and
+    only a miss overflow beyond that triggers the jittable whole-frame
+    XLA fallback); 'auto' = textile whenever the Pallas backend is active.
     """
     base_colors = residual_sh_colors(shs, xyz, camera.camera_center,
                                     active_sh_degree)
@@ -355,11 +373,19 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
         backend = ("scan" if jax.default_backend() == "tpu"
                    else ("reference" if xyz.shape[0] <= 4096 else "scan"))
     if backend == "reference":
+        assert row_offset is None, "band rendering needs a tiled backend"
         return rasterize_uvtex_reference(proj, tables, texture, camera, bg,
                                          extra_attrs=extra_attrs,
                                          normalize_depth=normalize_depth)
 
     height, width = camera.height, camera.width
+    if row_offset is not None:
+        assert band_height is not None
+        shift = jnp.stack([jnp.zeros_like(jnp.asarray(row_offset,
+                                                      jnp.float32)),
+                           jnp.asarray(row_offset, jnp.float32)])
+        proj = proj._replace(means2d=proj.means2d - shift[None, :])
+        height = band_height
     n = xyz.shape[0]
     if pair_cap is None:
         pair_cap = max(4 * n, 1 << 14)
@@ -383,11 +409,30 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
     uv_rows = build_uv_rows(tables, pairs)
     if backend == "pallas":
         from texgs.kernels.pallas_uvtex import mlist_pallas
-        mlist = mlist_pallas(attrs, uv_rows.T, pairs, camera, chunk, m)
+        mlist = mlist_pallas(attrs, uv_rows.T, pairs, camera, chunk, m,
+                             height=height, row_offset=row_offset)
     else:
-        mlist = mlist_scan(attrs, uv_rows, pairs, camera, chunk, m)
-    tex_img = mlist_tex_term(mlist, texture, height, width, filter_mode)
+        mlist = mlist_scan(attrs, uv_rows, pairs, camera, chunk, m,
+                           height=height, row_offset=row_offset)
+
+    if tex_backend == "auto":
+        tex_backend = "textile" if backend == "pallas" else "xla"
+    tex_miss = None
+    if tex_backend == "textile":
+        from texgs.kernels.pallas_textile import tex_term_textile
+        tex_fast, tex_miss = tex_term_textile(mlist, texture, height, width,
+                                              filter_mode)
+        # exactness guarantee: any unserved request -> recompute the whole
+        # frame on the per-tap path (rare once the UV map is smooth)
+        tex_img = jax.lax.cond(
+            tex_miss > 0,
+            lambda ml, tx: mlist_tex_term(ml, tx, height, width, filter_mode),
+            lambda ml, tx: tex_fast,
+            mlist, texture)
+    else:
+        tex_img = mlist_tex_term(mlist, texture, height, width, filter_mode)
 
     return RasterOutput(image=base.image + tex_img, depth=base.depth,
                         norm=base.norm, alpha=base.alpha, extra=base.extra,
-                        n_pairs=pairs.n_pairs, overflowed=pairs.overflowed)
+                        n_pairs=pairs.n_pairs, overflowed=pairs.overflowed,
+                        tex_miss=tex_miss)

@@ -34,7 +34,10 @@ def uv_tex_render(viewpoint_camera: Camera, *,
                   chunk: int = 128,
                   m: int = 32,
                   filter_mode: str = "bilinear",
-                  normalize_depth: bool = True) -> dict:
+                  tex_backend: str = "auto",
+                  normalize_depth: bool = True,
+                  row_offset=None,
+                  band_height: Optional[int] = None) -> dict:
     """Render one view with per-intersection UV-mapped cubemap appearance.
 
     uvs: (N, 3) unit sphere points (UV centers); grad_uvs: (N, 9) flattened
@@ -59,7 +62,9 @@ def uv_tex_render(viewpoint_camera: Camera, *,
         uvs, grad_uvs, texture, shs, active_sh_degree,
         cam, bg_color, extra_attrs=extra_attrs, pair_cap=pair_cap,
         chunk=chunk, m=m, filter_mode=filter_mode,
-        normalize_depth=normalize_depth, backend=backend)
+        normalize_depth=normalize_depth, backend=backend,
+        tex_backend=tex_backend, row_offset=row_offset,
+        band_height=band_height)
 
     return {
         "render": out.image,
@@ -72,4 +77,5 @@ def uv_tex_render(viewpoint_camera: Camera, *,
         # binning diagnostics (None on the dense reference backend)
         "n_pairs": out.n_pairs,
         "pair_overflow": out.overflowed,
+        "tex_miss": out.tex_miss,
     }

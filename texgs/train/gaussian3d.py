@@ -34,6 +34,55 @@ from texgs.train.pair_cap import PairCapController
 from texgs.utils.schedules import expon_lr
 
 
+def stage1_loss_terms(image, depth, norm, alpha, camera: Camera,
+                      gt_image, gt_alpha, opacity_act,
+                      flags: tuple, lambdas: dict):
+    """Gated stage-1 loss assembly from rendered channels.
+
+    Shared verbatim by the single-chip jitted step and the sharded
+    production step (texgs.dist.sharded) so both train the *same* loss
+    (/root/reference/models/gaussian3d.py:352-422).  flags gate each term
+    statically; lambdas are traced scalars.
+    """
+    (use_alpha, use_opacity_reg, use_depth, use_norm, use_norm_smooth,
+     use_norm_reg, _track_stats) = flags
+
+    ll1 = losses.l1_loss(image, gt_image)
+    lssim = 1.0 - losses.ssim_loss(image, gt_image)
+    loss = ((1.0 - lambdas["dssim"]) * ll1 + lambdas["dssim"] * lssim)
+    stats_d = dict(Ll1=ll1, Lssim=lssim)
+
+    if use_alpha:
+        la = losses.l1_loss(alpha, gt_alpha)
+        loss = loss + lambdas["alpha"] * la
+        stats_d["Lalpha"] = la
+    if use_opacity_reg:
+        lor = losses.zero_one_loss(opacity_act)
+        loss = loss + lambdas["opacity_reg"] * lor
+        stats_d["Lopacity_reg"] = lor
+    if use_depth:
+        ld = losses.l1_loss(depth, camera.depth)
+        loss = loss + lambdas["depth"] * ld
+        stats_d["Ldepth"] = ld
+    if use_norm:
+        ln = losses.norm_loss(norm, camera.normal, gt_alpha)
+        loss = loss + lambdas["norm"] * ln
+        stats_d["Lnorm"] = ln
+    if use_norm_smooth:
+        lns = losses.smooth_loss(gt_image, norm, gt_alpha)
+        loss = loss + lambdas["norm_smooth"] * lns
+        stats_d["Lnorm_smooth"] = lns
+    if use_norm_reg:
+        lnr = losses.norm_reg_loss(norm, depth, camera.tanfovx,
+                                   camera.tanfovy, camera.world_view,
+                                   gt_alpha)
+        loss = loss + lambdas["norm_reg"] * lnr
+        stats_d["Lnorm_reg"] = lnr
+
+    stats_d["total_loss"] = loss
+    return loss, stats_d
+
+
 def _round_capacity(n: int) -> int:
     """Pad to the next power of two (>= 2048) — growth forces a retrace, so
     power-of-two buckets bound the number of recompilations."""
@@ -103,8 +152,7 @@ class Gaussian3D:
                     active_sh_degree: int, pair_cap: Optional[int] = None,
                     backend: str = "auto"):
         """Fused render + loss + grads (+ Adam & densify-stat accumulation)."""
-        (use_alpha, use_opacity_reg, use_depth, use_norm, use_norm_smooth,
-         use_norm_reg, track_stats) = flags
+        track_stats = flags[6]
         capacity = state.capacity
 
         gt_image = camera.image
@@ -125,42 +173,9 @@ class Gaussian3D:
                          active_sh_degree=active_sh_degree,
                          bg_color=lambdas["bg"], ndc_offset=ndc_zero,
                          backend=backend, pair_cap=pair_cap)
-            image, depth = out["render"], out["depth"]
-            norm, alpha = out["norm"], out["alpha"]
-
-            ll1 = losses.l1_loss(image, gt_image)
-            lssim = 1.0 - losses.ssim_loss(image, gt_image)
-            loss = ((1.0 - lambdas["dssim"]) * ll1 + lambdas["dssim"] * lssim)
-            stats_d = dict(Ll1=ll1, Lssim=lssim)
-
-            if use_alpha:
-                la = losses.l1_loss(alpha, gt_alpha)
-                loss = loss + lambdas["alpha"] * la
-                stats_d["Lalpha"] = la
-            if use_opacity_reg:
-                lor = losses.zero_one_loss(st.get_opacity())
-                loss = loss + lambdas["opacity_reg"] * lor
-                stats_d["Lopacity_reg"] = lor
-            if use_depth:
-                ld = losses.l1_loss(depth, camera.depth)
-                loss = loss + lambdas["depth"] * ld
-                stats_d["Ldepth"] = ld
-            if use_norm:
-                ln = losses.norm_loss(norm, camera.normal, gt_alpha)
-                loss = loss + lambdas["norm"] * ln
-                stats_d["Lnorm"] = ln
-            if use_norm_smooth:
-                lns = losses.smooth_loss(gt_image, norm, gt_alpha)
-                loss = loss + lambdas["norm_smooth"] * lns
-                stats_d["Lnorm_smooth"] = lns
-            if use_norm_reg:
-                lnr = losses.norm_reg_loss(norm, depth, camera.tanfovx,
-                                           camera.tanfovy, camera.world_view,
-                                           gt_alpha)
-                loss = loss + lambdas["norm_reg"] * lnr
-                stats_d["Lnorm_reg"] = lnr
-
-            stats_d["total_loss"] = loss
+            loss, stats_d = stage1_loss_terms(
+                out["render"], out["depth"], out["norm"], out["alpha"],
+                camera, gt_image, gt_alpha, st.get_opacity(), flags, lambdas)
             return loss, (stats_d, out["radii"],
                           out["n_pairs"], out["pair_overflow"])
 

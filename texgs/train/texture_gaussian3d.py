@@ -48,6 +48,85 @@ def sh02rgb(sh0):
     return jnp.clip(C0 * sh0 + 0.5, 0.0, 1.0)
 
 
+def stage3_loss_terms(image, depth, norm, alpha, image_ns, camera: Camera,
+                      gt_image, gt_alpha, opacity_act, uv_params, key,
+                      uv_net_cfg, inv_uv_net_cfg, n_inv_points: int,
+                      flags: tuple, lambdas: dict):
+    """Gated stage-3 loss assembly from rendered channels.
+
+    Shared verbatim by the single-chip jitted step and the sharded
+    production step (texgs.dist.sharded), mirroring
+    /root/reference/models/texture_gaussian3d.py:315-418.  ``image_ns`` is
+    the no-SH re-render (None unless the no-SH flag is on).
+    """
+    (use_rgb, use_alpha, use_depth, use_norm, use_norm_reg,
+     use_norm_smooth, use_opacity_reg, use_no_sh, use_inverse) = flags
+
+    loss = 0.0
+    stats = {}
+    if use_rgb:
+        ll1 = losses.l1_loss(image, gt_image)
+        lssim = 1.0 - losses.ssim_loss(image, gt_image)
+        loss = loss + ((1.0 - lambdas["dssim"]) * ll1
+                       + lambdas["dssim"] * lssim)
+        stats.update(Ll1=ll1, Lssim=lssim)
+    if use_alpha:
+        la = losses.l1_loss(alpha, gt_alpha)
+        loss = loss + lambdas["alpha"] * la
+        stats["Lalpha"] = la
+    if use_depth:
+        ld = losses.l1_loss(depth, camera.depth)
+        loss = loss + lambdas["depth"] * ld
+        stats["Ldepth"] = ld
+    if use_norm:
+        ln = losses.norm_loss(norm, camera.normal, gt_alpha)
+        loss = loss + lambdas["norm"] * ln
+        stats["Lnorm"] = ln
+    if use_norm_reg:
+        lnr = losses.norm_reg_loss(norm, depth, camera.tanfovx,
+                                   camera.tanfovy, camera.world_view,
+                                   gt_alpha)
+        loss = loss + lambdas["norm_reg"] * lnr
+        stats["Lnorm_reg"] = lnr
+    if use_norm_smooth:
+        lns = losses.smooth_loss(gt_image, norm, gt_alpha)
+        loss = loss + lambdas["norm_smooth"] * lns
+        stats["Lnorm_smooth"] = lns
+    if use_opacity_reg:
+        lor = losses.zero_one_loss(opacity_act)
+        loss = loss + lambdas["opacity_reg"] * lor
+        stats["Lopacity_reg"] = lor
+    if use_no_sh:
+        ll1 = losses.l1_loss(image_ns, gt_image)
+        lssim = 1.0 - losses.ssim_loss(image_ns, gt_image)
+        loss = loss + lambdas["no_sh"] * (
+            (1.0 - lambdas["dssim"]) * ll1 + lambdas["dssim"] * lssim)
+        stats.update(Ll1_nosh=ll1, Lssim_nosh=lssim)
+    if use_inverse:
+        geo_emb = uv_params["geo_emb"]
+        world = depth2world(jax.lax.stop_gradient(depth[0]),
+                            camera.full_proj, camera.zfar,
+                            camera.znear).reshape(-1, 3)
+        wmask = (jax.lax.stop_gradient(alpha).reshape(-1) > 0.5
+                 ).astype(jnp.float32)
+        if n_inv_points and n_inv_points < world.shape[0]:
+            score = jax.random.uniform(key, (world.shape[0],))
+            score = jnp.where(wmask > 0, score, -1.0)
+            _, sel = jax.lax.top_k(score, n_inv_points)
+            world = world[sel]
+            wmask = wmask[sel]
+        uv = apply_uv_net(uv_params["uv_net"], uv_net_cfg, world, geo_emb)
+        inv = apply_inv_uv_net(uv_params["inv_uv_net"], inv_uv_net_cfg, uv,
+                               geo_emb)
+        err = ((world - inv) ** 2).sum(-1)
+        linv = (err * wmask).sum() / (wmask.sum() + 1e-6)
+        loss = loss + lambdas["inverse"] * linv
+        stats["Linv"] = linv
+
+    stats["total_loss"] = loss
+    return loss, stats
+
+
 class TextureGaussian3D:
     """Driver-facing API parity with the reference model."""
 
@@ -160,8 +239,7 @@ class TextureGaussian3D:
                     lrs, lambdas, apply_flags, flags: tuple,
                     active_sh_degree: int, n_inv_points: int,
                     pair_cap: Optional[int] = None):
-        (use_rgb, use_alpha, use_depth, use_norm, use_norm_reg,
-         use_norm_smooth, use_opacity_reg, use_no_sh, use_inverse) = flags
+        use_no_sh = flags[7]
         apply_g, apply_uv, apply_tex = apply_flags
 
         gt_image = camera.image
@@ -185,79 +263,21 @@ class TextureGaussian3D:
                     filter_mode=self.cfg.tex_cfg.get_or(
                         "filter_mode", "bilinear"),
                     backend=self.cfg.get_or("backend", "auto"),
+                    tex_backend=self.cfg.get_or("tex_backend", "auto"),
                     pair_cap=pair_cap)
 
             out = do_render(active_sh_degree)
-            image, depth = out["render"], out["depth"]
-            norm, alpha = out["norm"], out["alpha"]
-
-            loss = 0.0
-            stats = {}
+            image_ns = do_render(0)["render"] if use_no_sh else None
+            loss, stats = stage3_loss_terms(
+                out["render"], out["depth"], out["norm"], out["alpha"],
+                image_ns, camera, gt_image, gt_alpha, act["opacity"], up,
+                key, self.cfg.uv_net_cfg, self.cfg.inv_uv_net_cfg,
+                n_inv_points, flags, lambdas)
             if out["n_pairs"] is not None:
                 stats["n_pairs"] = jax.lax.stop_gradient(out["n_pairs"])
                 stats["pair_overflow"] = out["pair_overflow"]
-            if use_rgb:
-                ll1 = losses.l1_loss(image, gt_image)
-                lssim = 1.0 - losses.ssim_loss(image, gt_image)
-                loss = loss + ((1.0 - lambdas["dssim"]) * ll1
-                               + lambdas["dssim"] * lssim)
-                stats.update(Ll1=ll1, Lssim=lssim)
-            if use_alpha:
-                la = losses.l1_loss(alpha, gt_alpha)
-                loss = loss + lambdas["alpha"] * la
-                stats["Lalpha"] = la
-            if use_depth:
-                ld = losses.l1_loss(depth, camera.depth)
-                loss = loss + lambdas["depth"] * ld
-                stats["Ldepth"] = ld
-            if use_norm:
-                ln = losses.norm_loss(norm, camera.normal, gt_alpha)
-                loss = loss + lambdas["norm"] * ln
-                stats["Lnorm"] = ln
-            if use_norm_reg:
-                lnr = losses.norm_reg_loss(norm, depth, camera.tanfovx,
-                                           camera.tanfovy, camera.world_view,
-                                           gt_alpha)
-                loss = loss + lambdas["norm_reg"] * lnr
-                stats["Lnorm_reg"] = lnr
-            if use_norm_smooth:
-                lns = losses.smooth_loss(gt_image, norm, gt_alpha)
-                loss = loss + lambdas["norm_smooth"] * lns
-                stats["Lnorm_smooth"] = lns
-            if use_opacity_reg:
-                lor = losses.zero_one_loss(act["opacity"])
-                loss = loss + lambdas["opacity_reg"] * lor
-                stats["Lopacity_reg"] = lor
-            if use_no_sh:
-                image_ns = do_render(0)["render"]
-                ll1 = losses.l1_loss(image_ns, gt_image)
-                lssim = 1.0 - losses.ssim_loss(image_ns, gt_image)
-                loss = loss + lambdas["no_sh"] * (
-                    (1.0 - lambdas["dssim"]) * ll1 + lambdas["dssim"] * lssim)
-                stats.update(Ll1_nosh=ll1, Lssim_nosh=lssim)
-            if use_inverse:
-                geo_emb = up["geo_emb"]
-                world = depth2world(jax.lax.stop_gradient(depth[0]),
-                                    camera.full_proj, camera.zfar,
-                                    camera.znear).reshape(-1, 3)
-                wmask = (jax.lax.stop_gradient(alpha).reshape(-1) > 0.5
-                         ).astype(jnp.float32)
-                if n_inv_points and n_inv_points < world.shape[0]:
-                    score = jax.random.uniform(key, (world.shape[0],))
-                    score = jnp.where(wmask > 0, score, -1.0)
-                    _, sel = jax.lax.top_k(score, n_inv_points)
-                    world = world[sel]
-                    wmask = wmask[sel]
-                uv = apply_uv_net(up["uv_net"], self.cfg.uv_net_cfg, world,
-                                  geo_emb)
-                inv = apply_inv_uv_net(up["inv_uv_net"],
-                                       self.cfg.inv_uv_net_cfg, uv, geo_emb)
-                err = ((world - inv) ** 2).sum(-1)
-                linv = (err * wmask).sum() / (wmask.sum() + 1e-6)
-                loss = loss + lambdas["inverse"] * linv
-                stats["Linv"] = linv
-
-            stats["total_loss"] = loss
+            if out.get("tex_miss") is not None:
+                stats["tex_miss"] = out["tex_miss"]
             return loss, stats
 
         (loss, stats), grads = jax.value_and_grad(
@@ -418,7 +438,8 @@ class TextureGaussian3D:
             active_sh_degree=active_sh_degree, bg_color=self._bg,
             m=int(self.cfg.get_or("uvtex_m", 32)),
             filter_mode=self.cfg.tex_cfg.get_or("filter_mode", "bilinear"),
-            backend=self.cfg.get_or("backend", "auto"))
+            backend=self.cfg.get_or("backend", "auto"),
+            tex_backend=self.cfg.get_or("tex_backend", "auto"))
         out_ns = uv_tex_render(
             camera, xyz=act["xyz"], opacity=act["opacity"],
             scaling=act["scaling"], rotation=act["rotation"], uvs=uvs,
@@ -426,7 +447,8 @@ class TextureGaussian3D:
             active_sh_degree=0, bg_color=self._bg,
             m=int(self.cfg.get_or("uvtex_m", 32)),
             filter_mode=self.cfg.tex_cfg.get_or("filter_mode", "bilinear"),
-            backend=self.cfg.get_or("backend", "auto"))
+            backend=self.cfg.get_or("backend", "auto"),
+            tex_backend=self.cfg.get_or("tex_backend", "auto"))
         return out, out_ns["render"]
 
     def visual_step(self, cur_iter: int, total_iter: int, viewpoint: Camera,
