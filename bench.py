@@ -46,8 +46,11 @@ def _run_bench(backend):
     cam = orbit_cameras(1, radius=3.5, width=WIDTH, height=HEIGHT)[0]
     target = jnp.zeros((3, HEIGHT, WIDTH))
 
+    # NB: `target` is a jit ARGUMENT — large closure-captured device
+    # arrays get corrupted when baked into big programs on the axon
+    # platform (NOTES.md)
     @jax.jit
-    def step(params):
+    def step(params, target):
         def loss_fn(p):
             out = render(cam, xyz=p["xyz"],
                          opacity=jax.nn.sigmoid(p["opacity"]),
@@ -71,14 +74,14 @@ def _run_bench(backend):
     # execution completes on the axon remote platform (verified 2026-08-17)
     # — only a value read forces completion, and iterations are dependency-
     # chained so the queue cannot reorder or elide them.
-    loss, _ = step(params)
+    loss, _ = step(params, target)
     float(loss)
 
     def run(iters):
         p = params
         t0 = time.time()
         for _ in range(iters):
-            loss, p = step(p)
+            loss, p = step(p, target)
         float(loss)
         return time.time() - t0
 

@@ -25,6 +25,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("TEXGS_CPU"):
+    # data prep never needs the TPU; the axon sitecustomize pins
+    # JAX_PLATFORMS, so the override must happen through jax.config
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     parser = ArgumentParser()
@@ -35,6 +42,11 @@ def main():
     parser.add_argument("--test_views", type=int, default=8)
     parser.add_argument("--size", type=int, default=400)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--init_ply", action="store_true",
+                        help="also write the true point cloud as "
+                             "points3d.ply (otherwise the Blender reader "
+                             "falls back to a random 100k-point init, "
+                             "reference dataset_readers.py:192-284)")
     args = parser.parse_args()
 
     import imageio
@@ -99,6 +111,13 @@ def main():
                   "w") as f:
             json.dump({"camera_angle_x": cams[0].fovx, "frames": frames}, f,
                       indent=1)
+
+    if args.init_ply:
+        from texgs.io import ply as plyio
+        plyio.write_ply_xyz(os.path.join(args.out_dir, "points3d.ply"),
+                            np.asarray(pcd.points),
+                            colors=np.asarray(pcd.colors),
+                            normals=np.zeros_like(np.asarray(pcd.points)))
     print(f"wrote {total} views to {args.out_dir}")
 
 

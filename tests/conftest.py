@@ -17,3 +17,17 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _shed_xla_executables():
+    """XLA-CPU's LLVM aborts/segfaults compiling large programs after many
+    hundreds of compiles accumulate in one process (first seen in the
+    stage-3 eval of the disk-pipeline test; the same compile succeeds in a
+    fresh process).  Shedding compiled executables between test modules
+    keeps the compiler healthy at the cost of some recompilation."""
+    yield
+    jax.clear_caches()

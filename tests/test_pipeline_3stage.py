@@ -1,12 +1,19 @@
 """Full three-stage pipeline integration test (geometry -> UV map -> texture)
-on a tiny synthetic scene, plus the extract/retexture/viewer tools.
+on a tiny scene read from FILES ON DISK, plus the extract/retexture/viewer
+tools.
 
 The CPU-scale version of the reference's stage-sequenced workflow
 (/root/reference/README.md:100-139): each stage hands its checkpoint to the
-next, exactly as the configs do on DTU.
+next, exactly as the configs do on DTU.  The dataset is generated in
+NeRF-synthetic (Blender) format by scripts/make_synthetic_dataset.py and
+trained through the on-disk reader path (readers.read_blender_scene), and
+final metrics are gated against tests/goldens/pipeline_3stage.json.
 """
 
+
+import json
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +25,8 @@ from texgs.train.driver import train
 from texgs.utils.logger import get_logger
 
 CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
-SCENE = "synthetic://blob?n=512&views=6&size=48"
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "goldens",
+                           "pipeline_3stage.json")
 
 
 @pytest.fixture(scope="module")
@@ -27,12 +35,36 @@ def workdir(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
-def stage1(workdir):
+def disk_scene(tmp_path_factory):
+    """Blender-format dataset written to disk (VERDICT r1 item 7: train the
+    stages from files through the reader, not synthetic://).
+
+    Runs the generator CLI in a subprocess — both for realism (it is the
+    user-facing data-prep entry point) and because its eager oracle renders
+    leave enough XLA-CPU compiler state behind to crash LLVM in a later
+    big in-process compile (observed: deterministic SIGSEGV/ENOMEM in the
+    stage-3 _render_eval compile when generated in-process)."""
+    import subprocess
+    out = str(tmp_path_factory.mktemp("dataset"))
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "make_synthetic_dataset.py")
+    env = dict(os.environ, TEXGS_CPU="1")
+    subprocess.run(
+        [sys.executable, script, out, "--n", "512", "--views", "6",
+         "--test_views", "2", "--size", "48", "--init_ply"],
+        check=True, env=env, timeout=600)
+    assert os.path.exists(os.path.join(out, "transforms_train.json"))
+    assert os.path.exists(os.path.join(out, "points3d.ply"))
+    return out
+
+
+@pytest.fixture(scope="module")
+def stage1(workdir, disk_scene):
     cfg = load_config(os.path.join(CFG_DIR, "synthetic_smoke.yaml"))
     cfg.work_dir = os.path.join(workdir, "s1")
     os.makedirs(os.path.join(cfg.work_dir, "checkpoints"), exist_ok=True)
     cfg.debug = False
-    cfg.dataset_cfg.data_root_dir = SCENE
+    cfg.dataset_cfg.data_root_dir = disk_scene
     cfg.train_cfg.num_iterations = 150
     cfg.train_cfg.visual_iters = [150]
     cfg.train_cfg.ckpt_iters = [150]
@@ -45,13 +77,13 @@ def stage1(workdir):
     log = get_logger("texgs-test")
     model, scene, ev = train(cfg, log, None, progress=False)
     ckpt_path = os.path.join(cfg.work_dir, "checkpoints", "150")
-    return cfg, ckpt_path, scene
+    return cfg, ckpt_path, scene, ev
 
 
 @pytest.fixture(scope="module")
 def pcd_path(stage1, workdir):
     from texgs.tools.extract_pcd import extract_pcd
-    _, ckpt_path, _ = stage1
+    _, ckpt_path, _, _ = stage1
     out = os.path.join(workdir, "pcd")
     pts = extract_pcd(ckpt_path, out, num_points=512)
     assert pts.shape == (512, 3)
@@ -60,13 +92,14 @@ def pcd_path(stage1, workdir):
 
 
 @pytest.fixture(scope="module")
-def stage2(stage1, pcd_path, workdir):
-    _, s1_ckpt, scene = stage1
+def stage2(stage1, pcd_path, workdir, disk_scene):
+    _, s1_ckpt, scene, _ = stage1
+    jax.clear_caches()   # shed stage-1 executables (see stage3 note)
     cfg = load_config(os.path.join(CFG_DIR, "synthetic_uv_map.yaml"))
     cfg.work_dir = os.path.join(workdir, "s2")
     os.makedirs(os.path.join(cfg.work_dir, "checkpoints"), exist_ok=True)
     cfg.debug = False
-    cfg.dataset_cfg.data_root_dir = SCENE
+    cfg.dataset_cfg.data_root_dir = disk_scene
     cfg.model_cfg.init_from = s1_ckpt
     cfg.model_cfg.pcd_load_from = pcd_path
     cfg.model_cfg.max_inverse_points = 2048
@@ -120,14 +153,19 @@ def test_stage2_chess_visualization(stage2):
 
 
 @pytest.fixture(scope="module")
-def stage3(stage1, stage2, workdir):
-    _, s1_ckpt, scene = stage1
+def stage3(stage1, stage2, workdir, disk_scene):
+    _, s1_ckpt, scene, _ = stage1
+    # XLA-CPU's LLVM crashes (SIGSEGV/ENOMEM) compiling the stage-3 eval
+    # after the hundreds of programs stages 1-2 compile in-process; the
+    # same compile succeeds in a fresh process.  Shedding the cached
+    # executables keeps the compiler healthy.
+    jax.clear_caches()
     _, _, s2_ckpt = stage2
     cfg = load_config(os.path.join(CFG_DIR, "synthetic_texture.yaml"))
     cfg.work_dir = os.path.join(workdir, "s3")
     os.makedirs(os.path.join(cfg.work_dir, "checkpoints"), exist_ok=True)
     cfg.debug = False
-    cfg.dataset_cfg.data_root_dir = SCENE
+    cfg.dataset_cfg.data_root_dir = disk_scene
     cfg.model_cfg.init_from = s1_ckpt
     cfg.model_cfg.init_uv_map_from = s2_ckpt
     cfg.model_cfg.max_inverse_points = 2048
@@ -208,3 +246,33 @@ def test_retexture_tool(stage3, workdir):
     assert outs["test"], "no views rendered"
     img = imageio.imread(outs["test"][0])
     assert img.shape[:2] == (48, 48)
+
+
+def test_golden_metrics(stage1, stage3):
+    """Gate the on-disk pipeline's final metrics against checked-in goldens
+    (the CPU-scale stand-in for the DTU parity table, BASELINE.md — real
+    DTU data is not mountable in this environment).
+
+    Regenerate after an intentional quality change with
+    TEXGS_WRITE_GOLDENS=1 pytest tests/test_pipeline_3stage.py -k golden
+    and commit the refreshed json."""
+    _, _, _, ev1 = stage1
+    _, _, _, ev3, _ = stage3
+    if os.environ.get("TEXGS_WRITE_GOLDENS"):
+        with open(GOLDEN_PATH) as f:
+            golden = json.load(f)
+        golden.update(
+            stage1_test_psnr=round(float(ev1["test"]["psnr"]), 3),
+            stage3_test_psnr=round(float(ev3["test"]["psnr"]), 3),
+            stage3_test_ssim=round(float(ev3["test"]["ssim"]), 4))
+        golden.pop("_comment", None)
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(golden, f, indent=1)
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)
+    assert ev1["test"]["psnr"] >= golden["stage1_test_psnr"] - golden["margin_db"], \
+        (ev1, golden)
+    assert ev3["test"]["psnr"] >= golden["stage3_test_psnr"] - golden["margin_db"], \
+        (ev3, golden)
+    assert ev3["test"]["ssim"] >= golden["stage3_test_ssim"] - golden["margin_ssim"], \
+        (ev3, golden)

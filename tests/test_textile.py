@@ -161,6 +161,67 @@ def test_textile_edge_clamp_gradients():
 def test_textile_cfg_geometry():
     cfg = make_cfg(4, 8, 64)
     assert cfg.w_rows == 64 and cfg.n_half == 1 and cfg.cols == 64
+    assert cfg.n_levels == 1 and cfg.atlas_rows == 64
     cfg = make_cfg(1900, 32, 1024)
     assert cfg.w_rows == 72 and cfg.n_half == 2 and cfg.wc == 256
     assert cfg.rq_rows == 64 and cfg.n_blocks == 8
+    # mip chain 1024..64 (the last level fits any footprint in one window)
+    assert cfg.level_sizes == (1024, 512, 256, 128, 64)
+    assert cfg.level_orgs == (0, 1024, 1536, 1792, 1920)
+    assert cfg.atlas_rows == 1992 and cfg.atlas_rows % 8 == 0
+
+
+def test_textile_mip_serves_wide_footprints():
+    """A tile whose uv footprint spans most of a face must be served from a
+    coarser mip level (zero misses) and match the XLA twin sampling the
+    explicitly downsampled texture at that level — including the texture
+    gradient folded through the mean-pool."""
+    from texgs.kernels.pallas_textile import build_atlas, make_cfg, textile_prep
+
+    res = 256
+    rng = np.random.default_rng(21)
+    tex = jnp.asarray(rng.uniform(size=(6, res, res, 3)).astype(np.float32))
+
+    # all requests on the +x face, spread over ~the whole face: footprint
+    # ~res texels >> the 72x128 window at level 0 -> level 2 (size 64)
+    ml = np.zeros((T, PIX, M, 4), np.float32)
+    yy = np.linspace(-0.9, 0.9, PIX)
+    for t_i in range(T):
+        for s_i in range(4):
+            d = np.stack([np.ones(PIX), yy, np.full(PIX, 0.2 * s_i - 0.3)],
+                         axis=-1)
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            ml[t_i, :, s_i, 0] = 0.25
+            ml[t_i, :, s_i, 1:] = d
+    mlist = jnp.asarray(ml)
+
+    cfg = make_cfg(T, M, res)
+    assert cfg.level_sizes == (256, 128, 64)
+    prep = textile_prep(mlist, cfg)
+    assert int(prep.n_miss) == 0, "wide footprint must be mip-served"
+
+    got, unserved = tex_term_textile(mlist, tex, H, W)
+    assert int(unserved) == 0
+
+    # twin: bilinear sampling of the level the prep chose.  All requests
+    # share one face/slot, so the level is uniform; read it off the meta.
+    def down(t, k):
+        for _ in range(k):
+            s = t.shape[1] // 2
+            t = t.reshape(6, s, 2, s, 2, 3).mean(axis=(2, 4))
+        return t
+
+    lvl = 2
+    def twin(tex_):
+        return mlist_tex_term(mlist, down(tex_, lvl), H, W)
+
+    want = twin(tex)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    cot = jnp.asarray(rng.normal(size=(3, H, W)).astype(np.float32))
+    g_t = jax.grad(lambda tx: jnp.sum(twin(tx) * cot))(tex)
+    g_f = jax.grad(lambda tx: jnp.sum(
+        tex_term_textile(mlist, tx, H, W)[0] * cot))(tex)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_t),
+                               atol=3e-5, rtol=1e-3)

@@ -65,9 +65,14 @@ def _run(state, cam, uvs, jac, shs, tex, backend, deg=2):
     # m=96 >= the max contributor count of this (soft-opacity) test scene,
     # so the chunked path is exactly the oracle; production default m=32
     # truncates the low-weight tail.
+    # tex_backend pinned to the exact per-tap path: these tests compare the
+    # M-list/blend backends; the windowed textile texture path (which may
+    # *drop* beyond-cap misses on incoherent scenes like this one, relying
+    # on the trainer's host-side retry) has its own suite, test_textile.py
     return rasterize_uvtex(proj, state.get_scaling(), state.get_rotation(),
                            state.xyz, uvs, jac, tex, shs, deg, cam,
-                           jnp.zeros(3), backend=backend, chunk=64, m=96)
+                           jnp.zeros(3), backend=backend, chunk=64, m=96,
+                           tex_backend="xla")
 
 
 def test_cubemap_roundtrip():

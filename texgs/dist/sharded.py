@@ -207,15 +207,16 @@ def stage1_sharded_step(mesh: Mesh, state, adam, stats, camera_batch: Camera,
     jax.jit, static_argnames=("mesh", "model_fns", "flags",
                               "active_sh_degree",
                               "n_inv_points", "pair_cap", "m", "backend",
-                              "tex_backend", "filter_mode", "uv_net_cfg",
-                              "inv_uv_net_cfg", "data_axis", "tile_axis"))
+                              "tex_backend", "tex_miss_cap", "filter_mode",
+                              "uv_net_cfg", "inv_uv_net_cfg", "data_axis",
+                              "tile_axis"))
 def stage3_sharded_step(mesh: Mesh, model_fns, gauss_params, uv_params,
                         tex_params, adam_g, adam_uv, adam_tex,
                         camera_batch: Camera, key, lrs, lambdas,
                         apply_flags, flags: tuple, active_sh_degree: int,
                         n_inv_points: int, uv_net_cfg, inv_uv_net_cfg,
                         pair_cap=None, m: int = 32, backend: str = "scan",
-                        tex_backend: str = "xla",
+                        tex_backend: str = "xla", tex_miss_cap: int = 4096,
                         filter_mode: str = "bilinear",
                         data_axis: str = "data", tile_axis: str = "tile"):
     """Sharded twin of ``TextureGaussian3D._train_step`` (same returns).
@@ -252,7 +253,8 @@ def stage3_sharded_step(mesh: Mesh, model_fns, gauss_params, uv_params,
                 uvs=uvs, grad_uvs=jac, texture=texture, shs=act["shs"],
                 active_sh_degree=deg, bg_color=lambdas["bg"], m=m,
                 filter_mode=filter_mode, backend=backend,
-                tex_backend=tex_backend, pair_cap=pair_cap,
+                tex_backend=tex_backend, tex_miss_cap=tex_miss_cap,
+                pair_cap=pair_cap,
                 row_offset=row0, band_height=band_h)
 
         def loss_fn(gp_, up_, tp_):

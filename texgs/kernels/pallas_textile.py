@@ -30,11 +30,19 @@ Design (validated primitive-by-primitive on v5e):
   lx0+1): tap values coincide exactly with the XLA twin's clipped taps, so
   outputs and all gradients (incl. the zero wx-gradient at face edges)
   match sample_cubemap's autodiff.
-* Requests whose face is not among the tile's two dominant faces, or whose
-  taps exceed the window, are dropped by the kernel and folded back exactly
-  by a K-bounded XLA correction (nonzero-compaction + sample_cubemap on the
-  missed requests, ~1 ms); only when misses exceed the cap do callers fall
-  back to the exact whole-frame XLA path (early-training randomness).
+* Mip windows: each (tile, face-slot) picks the finest mip level whose uv
+  footprint fits one window; the texture input is a per-face mip atlas
+  (level l stacked below level l-1, build_atlas) so window offsets address
+  levels uniformly and the atlas gradient folds back to the base texture
+  through the mean-pool autodiff.  Silhouette tiles (surface wrapping
+  around the limb -> unbounded du/dpixel) are thereby served area-filtered
+  instead of missing — mip anti-aliasing where the reference's full-res
+  CUDA fetch aliases.
+* Requests whose face is not among the tile's two dominant faces are
+  dropped by the kernel and folded back exactly by a K-bounded XLA
+  correction (hierarchical nonzero-compaction + sample_cubemap on the
+  missed requests); any remainder is reported for the trainer's host-side
+  retry (texgs.train.pair_cap.TexMissController).
 
 Runs in interpreter mode off-TPU; tests assert fwd+VJP allclose vs the XLA
 twin on both backends.
@@ -62,10 +70,12 @@ class TexTileCfg(NamedTuple):
     """Static geometry of one textile invocation (hashable jit key)."""
     n_tiles: int
     m: int            # M-list slots
-    res: int          # cubemap face resolution
+    res: int          # cubemap face resolution (mip level 0)
     w_rows: int       # window rows (multiple of 8)
     n_half: int       # window lane-halves (1 if res <= 128 else 2)
     cols: int         # lanes per half = min(res, 128)
+    level_sizes: tuple  # mip level sizes (res, res/2, ..., >= fit-all)
+    level_orgs: tuple   # per-level row origin inside the face atlas
 
     @property
     def rq_rows(self) -> int:
@@ -83,6 +93,15 @@ class TexTileCfg(NamedTuple):
     def n_steps(self) -> int:
         return 2 * self.n_tiles + 6
 
+    @property
+    def n_levels(self) -> int:
+        return len(self.level_sizes)
+
+    @property
+    def atlas_rows(self) -> int:
+        # the deepest level's window loads may run w_rows past its origin
+        return self.level_orgs[-1] + max(self.level_sizes[-1], self.w_rows)
+
 
 def make_cfg(n_tiles: int, m: int, res: int) -> TexTileCfg:
     assert res % 8 == 0, "texture resolution must be a multiple of 8"
@@ -90,8 +109,22 @@ def make_cfg(n_tiles: int, m: int, res: int) -> TexTileCfg:
         "texture resolution must be <= 128 or a multiple of 128"
     w_rows = min(72, res)
     n_half = 1 if res <= 128 else 2
+    cols = min(res, 128)
+    # mip chain down to the first size the window covers entirely (a tile
+    # whose uv bbox overflows level l just moves to l+1; at the last level
+    # anything fits, so window misses reduce to cross-face stragglers)
+    fit_all = min(w_rows, n_half * cols)
+    sizes, orgs, org, s = [], [], 0, res
+    while True:
+        sizes.append(s)
+        orgs.append(org)
+        if s <= fit_all or s <= 8:
+            break
+        org += s
+        s //= 2
     return TexTileCfg(n_tiles=n_tiles, m=m, res=res, w_rows=w_rows,
-                      n_half=n_half, cols=min(res, 128))
+                      n_half=n_half, cols=cols,
+                      level_sizes=tuple(sizes), level_orgs=tuple(orgs))
 
 
 # ---------------------------------------------------------------- XLA prep
@@ -114,7 +147,30 @@ class TextilePrep(NamedTuple):
 
 def _pack_meta(slot, first, face, y0, x0, blkbits):
     return (slot | (first << 1) | (face << 2) | ((y0 // 8) << 5)
-            | ((x0 // 128) << 12) | (blkbits << 15)).astype(jnp.int32)
+            | ((x0 // 128) << 13) | (blkbits << 16)).astype(jnp.int32)
+
+
+def _slot_taps(u, v, size, res, filter_mode):
+    """Bilinear tap ints + fractions at a per-request mip size (f32/i32
+    arrays broadcast per tile).  size is stop-grad; u/v differentiable."""
+    uu = u * 0.5 + 0.5
+    vv = v * 0.5 + 0.5
+    sizef = size.astype(jnp.float32)
+    if filter_mode == "nearest":
+        xi0 = jnp.clip((uu * sizef).astype(jnp.int32), 0, size - 1)
+        yi0 = jnp.clip((vv * sizef).astype(jnp.int32), 0, size - 1)
+        return xi0, xi0, yi0, yi0, jnp.zeros_like(u), jnp.zeros_like(v)
+    fu = uu * sizef - 0.5
+    fv = vv * sizef - 0.5
+    x0f = jnp.floor(fu)
+    y0f = jnp.floor(fv)
+    wx = fu - x0f          # d wx / d fu = 1 (floor has zero gradient)
+    wy = fv - y0f
+    xi0 = jnp.clip(x0f.astype(jnp.int32), 0, size - 1)
+    xi1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, size - 1)
+    yi0 = jnp.clip(y0f.astype(jnp.int32), 0, size - 1)
+    yi1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, size - 1)
+    return xi0, xi1, yi0, yi1, wx, wy
 
 
 def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
@@ -124,6 +180,14 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
     mlist: (T, PIX, M, 4) slot lists [w, ux, uy, uz] from the M-list kernel.
     The uv -> face/fu/fv -> (wx, wy) chain stays in XLA so its VJP (incl.
     the cube-face piecewise selects) is plain autodiff.
+
+    Mip windows: each (tile, face-slot) picks the finest mip level whose
+    requests fit one (w_rows x wc) window — a tile whose uv footprint
+    overflows level 0 (silhouette tiles see the surface wrap around the
+    limb) is served area-filtered from a coarser level instead of missing.
+    That is classic mip anti-aliasing, and the one place the textile path
+    intentionally diverges from the reference's always-full-res bilinear
+    CUDA fetch (which aliases under exactly those footprints).
     """
     t, pix, m, _ = mlist.shape
     res = cfg.res
@@ -136,27 +200,9 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
     u = u.reshape(t, rq, 128)
     v = v.reshape(t, rq, 128)
 
-    if filter_mode == "nearest":
-        xi0 = jnp.clip(((u * 0.5 + 0.5) * res).astype(jnp.int32), 0, res - 1)
-        yi0 = jnp.clip(((v * 0.5 + 0.5) * res).astype(jnp.int32), 0, res - 1)
-        xi1, yi1 = xi0, yi0
-        wx = jnp.zeros_like(u)
-        wy = jnp.zeros_like(v)
-    else:
-        fu = (u * 0.5 + 0.5) * res - 0.5
-        fv = (v * 0.5 + 0.5) * res - 0.5
-        x0f = jnp.floor(fu)
-        y0f = jnp.floor(fv)
-        wx = fu - x0f          # d wx / d fu = 1 (floor has zero gradient)
-        wy = fv - y0f
-        xi0 = jnp.clip(x0f.astype(jnp.int32), 0, res - 1)
-        xi1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, res - 1)
-        yi0 = jnp.clip(y0f.astype(jnp.int32), 0, res - 1)
-        yi1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, res - 1)
-
     active = jax.lax.stop_gradient(w) > 0.0
 
-    # ---- window selection (all stop-grad integer bookkeeping)
+    # ---- face-slot assignment (all stop-grad integer bookkeeping)
     hist = jnp.stack(
         [jnp.sum((active & (face == f)).astype(jnp.int32), axis=(1, 2))
          for f in range(6)], axis=1)                     # (T, 6)
@@ -164,35 +210,86 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
     hist_b = hist.at[jnp.arange(t), f_a].set(0)
     f_b = jnp.argmax(hist_b, axis=1).astype(jnp.int32)
 
-    def slot_window(f_slot):
-        msk = active & (face == f_slot[:, None, None])
-        big = jnp.int32(1 << 29)
-        ymin = jnp.min(jnp.where(msk, yi0, big), axis=(1, 2))
-        xmin = jnp.min(jnp.where(msk, xi0, big), axis=(1, 2))
-        if res > cfg.w_rows:
-            y0 = jnp.clip((ymin // 8) * 8, 0, res - cfg.w_rows)
-        else:
-            y0 = jnp.zeros_like(ymin)
-        if res > cfg.wc:
-            x0 = jnp.clip((xmin // 128) * 128, 0, res - cfg.wc)
-        else:
-            x0 = jnp.zeros_like(xmin)
-        fit = (msk & (yi0 >= y0[:, None, None])
-               & (yi1 <= y0[:, None, None] + cfg.w_rows - 1)
-               & (xi0 >= x0[:, None, None])
-               & (xi1 <= x0[:, None, None] + cfg.wc - 1))
-        return msk, y0, x0, fit
+    big = jnp.int32(1 << 29)
+    orgs_t = jnp.asarray(cfg.level_orgs, jnp.int32)
+    # level-0 tap ints for footprint measurement
+    g0x = jnp.clip(jnp.floor((u * 0.5 + 0.5) * res - 0.5).astype(jnp.int32),
+                   0, res - 1)
+    g0y = jnp.clip(jnp.floor((v * 0.5 + 0.5) * res - 0.5).astype(jnp.int32),
+                   0, res - 1)
 
-    mask_a, y0_a, x0_a, fit_a = slot_window(f_a)
-    mask_b, y0_b, x0_b, fit_b = slot_window(f_b)
+    def slot_window(f_slot):
+        """Per-tile mip level + window for one face slot, and per-request
+        taps/fractions/fit at that slot's level.
+
+        The level is chosen from a ROBUST footprint (min of the hard
+        max-min extent and ~5 sigma of the tap distribution) and the
+        window is centered on the tap mean: a handful of outlier requests
+        (e.g. back-surface contributors whose uv lands across the sphere)
+        must fall to the bounded miss correction, not drag the whole tile
+        to a coarse mip level."""
+        msk = active & (face == f_slot[:, None, None])
+        mskf = msk.astype(jnp.float32)
+        n_req = jnp.maximum(jnp.sum(mskf, axis=(1, 2)), 1.0)
+        ymin0 = jnp.min(jnp.where(msk, g0y, big), axis=(1, 2))
+        ymax0 = jnp.max(jnp.where(msk, g0y, -1), axis=(1, 2))
+        xmin0 = jnp.min(jnp.where(msk, g0x, big), axis=(1, 2))
+        xmax0 = jnp.max(jnp.where(msk, g0x, -1), axis=(1, 2))
+
+        def moments(g):
+            gf = g.astype(jnp.float32)
+            mean = jnp.sum(mskf * gf, axis=(1, 2)) / n_req
+            var = (jnp.sum(mskf * gf * gf, axis=(1, 2)) / n_req
+                   - mean * mean)
+            return mean, jnp.sqrt(jnp.maximum(var, 0.0))
+        my, sy = moments(g0y)
+        mx, sx = moments(g0x)
+        ext_y = jnp.minimum((ymax0 - ymin0 + 2).astype(jnp.float32),
+                            5.0 * sy + 2.0)
+        ext_x = jnp.minimum((xmax0 - xmin0 + 2).astype(jnp.float32),
+                            5.0 * sx + 2.0)
+        lvl_y = jnp.ceil(jnp.log2(jnp.maximum(ext_y, 1.0)
+                                  / max(cfg.w_rows - 8, 8)))
+        lvl_x = jnp.ceil(jnp.log2(jnp.maximum(ext_x, 1.0)
+                                  / max(cfg.wc - 8, 8)))
+        lvl = jnp.clip(jnp.maximum(lvl_y, lvl_x).astype(jnp.int32),
+                       0, cfg.n_levels - 1)
+        size_t = jnp.right_shift(jnp.int32(res), lvl)    # (T,) level size
+        size = size_t[:, None, None]
+        xi0, xi1, yi0, yi1, wx, wy = _slot_taps(u, v, size, res, filter_mode)
+
+        scale = jnp.exp2(-lvl.astype(jnp.float32))       # level-0 -> level-l
+        cy = (my * scale).astype(jnp.int32)
+        cx = (mx * scale).astype(jnp.int32)
+        y0loc = jnp.clip(((cy - cfg.w_rows // 2) // 8) * 8, 0,
+                         jnp.maximum(size_t - cfg.w_rows, 0))
+        x0loc = jnp.clip(((cx - cfg.wc // 2) // 128) * 128, 0,
+                         jnp.maximum(size_t - cfg.wc, 0))
+        fit = (msk & (yi0 >= y0loc[:, None, None])
+               & (yi1 <= y0loc[:, None, None] + cfg.w_rows - 1)
+               & (xi0 >= x0loc[:, None, None])
+               & (xi1 <= x0loc[:, None, None] + cfg.wc - 1))
+        y0 = orgs_t[lvl] + y0loc                         # atlas rows
+        return dict(msk=msk, fit=fit, y0=y0, x0=x0loc,
+                    y0loc=y0loc, xi0=xi0, xi1=xi1, yi0=yi0, yi1=yi1,
+                    wx=wx, wy=wy)
+
+    sa = slot_window(f_a)
+    sb = slot_window(f_b)
+    fit_a, fit_b = sa["fit"], sb["fit"]
     served = fit_a | fit_b
     n_miss = jnp.sum((active & ~served).astype(jnp.int32))
 
     slot = fit_b & ~fit_a                        # prefer slot A
-    y0_r = jnp.where(slot, y0_b[:, None, None], y0_a[:, None, None])
-    x0_r = jnp.where(slot, x0_b[:, None, None], x0_a[:, None, None])
-    ly0 = jnp.clip(yi0 - y0_r, 0, cfg.w_rows - 1)
-    lx0 = jnp.clip(xi0 - x0_r, 0, cfg.wc - 1)
+    pick = lambda key: jnp.where(slot, sb[key], sa[key])
+    pick_t = lambda key: jnp.where(slot, sb[key][:, None, None],
+                                   sa[key][:, None, None])
+    wx = pick("wx")
+    wy = pick("wy")
+    xi0, xi1 = pick("xi0"), pick("xi1")
+    yi0, yi1 = pick("yi0"), pick("yi1")
+    ly0 = jnp.clip(yi0 - pick_t("y0loc"), 0, cfg.w_rows - 1)
+    lx0 = jnp.clip(xi0 - pick_t("x0"), 0, cfg.wc - 1)
     colsame = (xi1 == xi0).astype(jnp.int32)
     rowsame = (yi1 == yi0).astype(jnp.int32)
     idx15 = ly0 * cfg.wc + lx0
@@ -212,10 +309,10 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
     # ---- per-(tile, slot, block) window-row footprints: the kernels loop
     # only over rows a block actually references (typically a handful of
     # the w_rows-row window)
-    def blk_rows(fitmask, y0s, x0s):
-        big = jnp.int32(1 << 29)
-        r0 = jnp.where(fitmask, yi0 - y0s[:, None, None], big)
-        r1 = jnp.where(fitmask, yi1 - y0s[:, None, None], -1)
+    def blk_rows(fitmask, s):
+        y0s = s["y0loc"][:, None, None]
+        r0 = jnp.where(fitmask, s["yi0"] - y0s, big)
+        r1 = jnp.where(fitmask, s["yi1"] - y0s, -1)
         rmin = jnp.min(r0.reshape(t, cfg.n_blocks, -1), axis=2)
         rmax = jnp.max(r1.reshape(t, cfg.n_blocks, -1), axis=2)
         empty = rmax < rmin
@@ -223,8 +320,8 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
         rmax = jnp.where(empty, 0, jnp.clip(rmax, 0, cfg.w_rows - 1))
         # lane-half usage bits (skip unused halves in-kernel)
         if cfg.n_half > 1:
-            hh0 = (xi0 - x0s[:, None, None]) // 128
-            hh1 = (xi1 - x0s[:, None, None]) // 128
+            hh0 = (s["xi0"] - s["x0"][:, None, None]) // 128
+            hh1 = (s["xi1"] - s["x0"][:, None, None]) // 128
             hbits = jnp.zeros((t, cfg.n_blocks), jnp.int32)
             for h in range(cfg.n_half):
                 used = (fitmask & ((hh0 == h) | (hh1 == h))).reshape(
@@ -234,8 +331,9 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
             hbits = jnp.ones((t, cfg.n_blocks), jnp.int32)
         return (rmin | (rmax << 8) | (hbits << 16)).astype(jnp.int32)
 
-    rows_a = blk_rows(fit_a, y0_a, x0_a)
-    rows_b = blk_rows(fit_b & ~fit_a, y0_b, x0_b)
+    rows_a = blk_rows(fit_a, sa)
+    rows_b = blk_rows(fit_b & ~fit_a, sb)
+    y0_a, x0_a, y0_b, x0_b = sa["y0"], sa["x0"], sb["y0"], sb["x0"]
 
     # ---- step arrays, sorted by face so face blocks are visited in runs
     tiles = jnp.arange(t, dtype=jnp.int32)
@@ -269,9 +367,9 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
 def _unpack_meta(meta, cfg: TexTileCfg):
     slot = meta & 1
     first = (meta >> 1) & 1
-    y0 = pl.multiple_of(((meta >> 5) & 127) * 8, 8)
-    x0 = pl.multiple_of(((meta >> 12) & 7) * 128, 128)
-    bits = (meta >> 15) & 255
+    y0 = pl.multiple_of(((meta >> 5) & 255) * 8, 8)     # face-atlas rows
+    x0 = pl.multiple_of(((meta >> 13) & 7) * 128, 128)
+    bits = (meta >> 16) & 255
     return slot, first, y0, x0, bits
 
 
@@ -533,26 +631,28 @@ def _specs(cfg: TexTileCfg, with_rows: bool):
                              lambda s, tl, mt, rw: (tl[s], 0, 0, 0),
                              memory_space=pltpu.VMEM)
     tex_spec = pl.BlockSpec(
-        (3, 1, cfg.res, cfg.res),
+        (3, 1, cfg.atlas_rows, cfg.res),
         lambda s, tl, mt, rw: (0, (mt[s] >> 2) & 7, 0, 0),
         memory_space=pltpu.VMEM)
     return tex_spec, req_spec, reqr_spec
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def textile_apply(cfg: TexTileCfg, wq, wx, wy, widx, tex_planar,
+def textile_apply(cfg: TexTileCfg, wq, wx, wy, widx, tex_atlas,
                   step_tile, step_meta, step_rows):
     """Pixel-summed texture term per tile: (T, 8, 128) packed as rows
     [ch0 even, ch0 odd, ch1 even, ch1 odd, ch2 even, ch2 odd, pad, pad]
     where even/odd = pixel halves p < 128 / p >= 128.
 
-    tex_planar: (3, 6, R, R) f32.  Differentiable in wq/wx/wy/tex_planar.
+    tex_atlas: (3, 6, atlas_rows, R) f32 per-face mip atlas (build_atlas).
+    Differentiable in wq/wx/wy/tex_atlas — mip-level gradients flow back to
+    the base texture through build_atlas's mean-pool autodiff.
     """
-    return _textile_fwd_call(cfg, wq, wx, wy, widx, tex_planar, step_tile,
+    return _textile_fwd_call(cfg, wq, wx, wy, widx, tex_atlas, step_tile,
                              step_meta, step_rows)
 
 
-def _textile_fwd_call(cfg, wq, wx, wy, widx, tex_planar, step_tile,
+def _textile_fwd_call(cfg, wq, wx, wy, widx, tex_atlas, step_tile,
                       step_meta, step_rows):
     tex_spec, req_spec, _ = _specs(cfg, False)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -570,21 +670,21 @@ def _textile_fwd_call(cfg, wq, wx, wy, widx, tex_planar, step_tile,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
-    )(step_tile, step_meta, step_rows, tex_planar, wq, wx, wy, widx)
+    )(step_tile, step_meta, step_rows, tex_atlas, wq, wx, wy, widx)
     out = jnp.zeros((cfg.n_tiles, 8, 128), jnp.float32)
     return out.at[step_tile].add(partials)
 
 
-def _textile_fwd(cfg, wq, wx, wy, widx, tex_planar, step_tile, step_meta,
+def _textile_fwd(cfg, wq, wx, wy, widx, tex_atlas, step_tile, step_meta,
                  step_rows):
-    out = _textile_fwd_call(cfg, wq, wx, wy, widx, tex_planar, step_tile,
+    out = _textile_fwd_call(cfg, wq, wx, wy, widx, tex_atlas, step_tile,
                             step_meta, step_rows)
-    return out, (wq, wx, wy, widx, tex_planar, step_tile, step_meta,
+    return out, (wq, wx, wy, widx, tex_atlas, step_tile, step_meta,
                  step_rows)
 
 
 def _textile_bwd(cfg, res, g):
-    wq, wx, wy, widx, tex_planar, step_tile, step_meta, step_rows = res
+    wq, wx, wy, widx, tex_atlas, step_tile, step_meta, step_rows = res
     rq = cfg.rq_rows
     # row-layout views (free reshapes of the same buffers)
     as_rows = lambda a: a.reshape(a.shape[0], cfg.n_blocks, 1, 1024)
@@ -602,7 +702,7 @@ def _textile_bwd(cfg, res, g):
                   reqr_spec, reqr_spec, reqr_spec, reqr_spec, g_spec,
                   gr_spec],
         out_specs=[out_req, out_req, out_req,
-                   pl.BlockSpec((3, 1, cfg.res, cfg.res),
+                   pl.BlockSpec((3, 1, cfg.atlas_rows, cfg.res),
                                 lambda s, tl, mt, rw: (0, (mt[s] >> 2) & 7,
                                                    0, 0),
                                 memory_space=pltpu.VMEM)],
@@ -619,12 +719,13 @@ def _textile_bwd(cfg, res, g):
             jax.ShapeDtypeStruct((cfg.n_steps, rq, 128), jnp.float32),
             jax.ShapeDtypeStruct((cfg.n_steps, rq, 128), jnp.float32),
             jax.ShapeDtypeStruct((cfg.n_steps, rq, 128), jnp.float32),
-            jax.ShapeDtypeStruct((3, 6, cfg.res, cfg.res), jnp.float32),
+            jax.ShapeDtypeStruct((3, 6, cfg.atlas_rows, cfg.res),
+                                 jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
-    )(step_tile, step_meta, step_rows, tex_planar, wq, wx, wy, widx,
+    )(step_tile, step_meta, step_rows, tex_atlas, wq, wx, wy, widx,
       as_rows(wq), as_rows(wx), as_rows(wy), as_rows(widx), g, g_rows)
 
     def collect(d_steps):
@@ -703,21 +804,46 @@ def miss_correction(mlist: jnp.ndarray, texture: jnp.ndarray,
     return out.transpose(0, 2, 1), n_resolved
 
 
+def build_atlas(texture: jnp.ndarray, cfg: TexTileCfg) -> jnp.ndarray:
+    """(6, R, R, 3) cubemap -> (3, 6, atlas_rows, R) per-face mip atlas.
+
+    Level l is the 2x2 mean-pool of level l-1, stacked below it (row origin
+    cfg.level_orgs[l], columns zero-padded to R).  Differentiable: the
+    atlas gradient folds back to the base texture through the mean-pool
+    VJP, so a mip-served request's texture gradient lands on its 4^l base
+    texels with the right 1/4^l weights automatically."""
+    planar = jnp.moveaxis(texture, -1, 0)               # (3, 6, R, R)
+    parts = []
+    lv = planar
+    for i, s in enumerate(cfg.level_sizes):
+        if i > 0:
+            lv = lv.reshape(3, 6, s, 2, s, 2).mean(axis=(3, 5))
+        pad = cfg.res - s
+        parts.append(lv if pad == 0 else jnp.pad(
+            lv, ((0, 0), (0, 0), (0, 0), (0, pad))))
+    tail = cfg.atlas_rows - (cfg.level_orgs[-1] + cfg.level_sizes[-1])
+    if tail:
+        parts.append(jnp.zeros((3, 6, tail, cfg.res), planar.dtype))
+    return jnp.concatenate(parts, axis=2)
+
+
 def tex_term_textile(mlist: jnp.ndarray, texture: jnp.ndarray,
                      height: int, width: int,
                      filter_mode: str = "bilinear",
                      miss_cap: int = 4096):
     """(T, PIX, M, 4) M-lists + (6, R, R, 3) cubemap -> ((3, H, W) texture
     color term, miss count).  Drop-in for uvtex_raster.mlist_tex_term with
-    an extra diagnostics return.  Up to miss_cap window-missed requests
-    are folded back exactly via miss_correction; callers need the
-    whole-frame XLA fallback only when miss > miss_cap."""
+    an extra diagnostics return.  Tiles whose uv footprint overflows a
+    level-0 window are served from coarser mip levels (see textile_prep);
+    up to miss_cap residual misses (cross-face stragglers) are folded back
+    exactly via miss_correction; callers need a whole-frame retry only
+    when the reported miss count is > 0."""
     t, pix, m, _ = mlist.shape
     cfg = make_cfg(t, m, texture.shape[1])
     prep = textile_prep(mlist, cfg, filter_mode)
-    tex_planar = jnp.moveaxis(texture, -1, 0)           # (3, 6, R, R)
+    tex_atlas = build_atlas(texture, cfg)
     out = textile_apply(cfg, prep.wq, prep.wx, prep.wy, prep.widx,
-                        tex_planar, prep.step_tile, prep.step_meta,
+                        tex_atlas, prep.step_tile, prep.step_meta,
                         prep.step_rows)
     vals = out[:, :6, :].reshape(t, 3, 2 * 128)          # (T, ch, PIX)
     if miss_cap > 0:

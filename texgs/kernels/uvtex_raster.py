@@ -346,6 +346,7 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
                     filter_mode: str = "bilinear",
                     backend: str = "auto",
                     tex_backend: str = "auto",
+                    tex_miss_cap: int = 4096,
                     row_offset=None,
                     band_height: Optional[int] = None) -> RasterOutput:
     """Full UV-texture rasterization.
@@ -356,10 +357,11 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
     Pallas M-list kernel lands).
     tex_backend: how the texture term resolves the M-list cubemap taps —
     'xla' (per-tap gathers, exact, latency-bound on TPU) or 'textile'
-    (windowed-VMEM Pallas fetch/scatter; up to 4096 window-missed requests
-    per frame are folded back exactly by a compacted XLA correction, and
-    only a miss overflow beyond that triggers the jittable whole-frame
-    XLA fallback); 'auto' = textile whenever the Pallas backend is active.
+    (windowed-VMEM Pallas fetch/scatter; up to tex_miss_cap window-missed
+    requests per frame are folded back exactly by a compacted XLA
+    correction, and any remainder is *reported* via RasterOutput.tex_miss
+    for a host-side retry — the frame is incomplete when tex_miss > 0);
+    'auto' = textile whenever the Pallas backend is active.
     """
     base_colors = residual_sh_colors(shs, xyz, camera.camera_center,
                                     active_sh_degree)
@@ -420,15 +422,14 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
     tex_miss = None
     if tex_backend == "textile":
         from texgs.kernels.pallas_textile import tex_term_textile
-        tex_fast, tex_miss = tex_term_textile(mlist, texture, height, width,
-                                              filter_mode)
-        # exactness guarantee: any unserved request -> recompute the whole
-        # frame on the per-tap path (rare once the UV map is smooth)
-        tex_img = jax.lax.cond(
-            tex_miss > 0,
-            lambda ml, tx: mlist_tex_term(ml, tx, height, width, filter_mode),
-            lambda ml, tx: tex_fast,
-            mlist, texture)
+        # exactness contract: tex_miss counts requests the windows+bounded
+        # correction could NOT serve.  When > 0 the image is missing those
+        # contributions — callers must discard and re-run (host-side retry
+        # with a grown cap or tex_backend='xla': train.pair_cap.
+        # TexMissController); an in-graph whole-frame fallback would bloat
+        # the compiled step with a second ~5 s rasterization program.
+        tex_img, tex_miss = tex_term_textile(mlist, texture, height, width,
+                                             filter_mode, tex_miss_cap)
     else:
         tex_img = mlist_tex_term(mlist, texture, height, width, filter_mode)
 

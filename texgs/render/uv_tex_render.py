@@ -35,6 +35,7 @@ def uv_tex_render(viewpoint_camera: Camera, *,
                   m: int = 32,
                   filter_mode: str = "bilinear",
                   tex_backend: str = "auto",
+                  tex_miss_cap: int = 4096,
                   normalize_depth: bool = True,
                   row_offset=None,
                   band_height: Optional[int] = None) -> dict:
@@ -63,7 +64,8 @@ def uv_tex_render(viewpoint_camera: Camera, *,
         cam, bg_color, extra_attrs=extra_attrs, pair_cap=pair_cap,
         chunk=chunk, m=m, filter_mode=filter_mode,
         normalize_depth=normalize_depth, backend=backend,
-        tex_backend=tex_backend, row_offset=row_offset,
+        tex_backend=tex_backend, tex_miss_cap=tex_miss_cap,
+        row_offset=row_offset,
         band_height=band_height)
 
     return {

@@ -76,3 +76,69 @@ class PairCapController:
         else:
             self._calm = 0
         return False
+
+
+class TexMissController:
+    """Textile miss-cap schedule + textile/xla mode parking (stage 3).
+
+    The windowed textile kernel (texgs.kernels.pallas_textile) drops
+    requests its windows cannot serve and folds up to ``cap`` of them back
+    exactly; ``tex_miss`` > 0 in the step stats means requests were lost,
+    so the step result is discarded and re-run — first with a power-of-two
+    cap growth (misses are compacted hierarchically, so moderate caps stay
+    ~ms), then on the exact per-tap XLA path once misses exceed
+    ``max_cap`` (an untrained/incoherent UV map can miss nearly every
+    request, where no cap helps).  Repeated cap-exceeding overflows park
+    the trainer on the XLA path; every ``probe_interval`` steps it retries
+    textile once (~0.1 s wasted if still incoherent) so the smooth-UV
+    production regime snaps back to the fast path as the UV map trains.
+    """
+
+    def __init__(self, floor: int = 4096, max_cap: int = 1 << 17,
+                 park_after: int = 4, probe_interval: int = 250, log=None):
+        self.cap = floor
+        self.floor = floor
+        self.max_cap = max_cap
+        self.park_after = park_after
+        self.probe_interval = probe_interval
+        self.log = log
+        self._fallbacks = 0
+        self._parked = False
+        self._steps_parked = 0
+
+    def backend_for_step(self) -> str:
+        """Backend for a fresh step (before any overflow report)."""
+        if not self._parked:
+            return "textile"
+        self._steps_parked += 1
+        if self._steps_parked % self.probe_interval == 0:
+            return "textile"
+        return "xla"
+
+    def on_overflow(self, n_dropped: int) -> str:
+        """Textile dropped n_dropped requests: pick the retry backend."""
+        total = self.cap + int(n_dropped)
+        need = next_pow2(int(total * 1.25), self.floor)
+        if need <= self.max_cap and need > self.cap:
+            if self.log:
+                self.log.warning(
+                    f"textile miss overflow: {n_dropped} dropped at cap "
+                    f"{self.cap}; growing to {need} and re-running")
+            self.cap = need
+            return "textile"
+        self._fallbacks += 1
+        if not self._parked and self._fallbacks >= self.park_after:
+            self._parked = True
+            self._steps_parked = 0
+            if self.log:
+                self.log.warning(
+                    "textile misses exceed max cap repeatedly; parking on "
+                    f"the XLA texture path (re-probe every "
+                    f"{self.probe_interval} steps)")
+        return "xla"
+
+    def on_textile_ok(self) -> None:
+        if self._parked and self.log:
+            self.log.info("textile probe clean; resuming the fast path")
+        self._parked = False
+        self._fallbacks = 0

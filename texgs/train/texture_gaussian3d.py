@@ -34,7 +34,7 @@ from texgs.nets.uv_net import (apply_inv_uv_net, apply_uv_net,
                                init_inv_uv_net, init_uv_net)
 from texgs.render.uv_tex_render import uv_tex_render
 from texgs.train import optim
-from texgs.train.pair_cap import PairCapController
+from texgs.train.pair_cap import PairCapController, TexMissController
 from texgs.train.uv_map_gaussian3d import depth2world
 from texgs.utils.schedules import expon_lr, warmup_multistep
 from texgs.utils.sh import C0
@@ -158,6 +158,7 @@ class TextureGaussian3D:
         self._uv_step_count = 0
         self._eval_cache = None
         self._pair_caps = PairCapController(log=log)
+        self._tex_miss = TexMissController(log=log)
 
     # ------------------------------------------------------------- setup
     def bind_train_cfg(self, train_cfg: Cfg, bg):
@@ -233,12 +234,16 @@ class TextureGaussian3D:
     # ------------------------------------------------------ jitted core
     @functools.partial(jax.jit, static_argnames=("self", "flags",
                                                  "active_sh_degree",
-                                                 "n_inv_points", "pair_cap"))
+                                                 "n_inv_points", "pair_cap",
+                                                 "tex_backend",
+                                                 "tex_miss_cap"))
     def _train_step(self, gauss_params, uv_params, tex_params,
                     adam_g, adam_uv, adam_tex, camera: Camera, key,
                     lrs, lambdas, apply_flags, flags: tuple,
                     active_sh_degree: int, n_inv_points: int,
-                    pair_cap: Optional[int] = None):
+                    pair_cap: Optional[int] = None,
+                    tex_backend: Optional[str] = None,
+                    tex_miss_cap: int = 4096):
         use_no_sh = flags[7]
         apply_g, apply_uv, apply_tex = apply_flags
 
@@ -263,7 +268,9 @@ class TextureGaussian3D:
                     filter_mode=self.cfg.tex_cfg.get_or(
                         "filter_mode", "bilinear"),
                     backend=self.cfg.get_or("backend", "auto"),
-                    tex_backend=self.cfg.get_or("tex_backend", "auto"),
+                    tex_backend=(tex_backend if tex_backend is not None
+                                 else self.cfg.get_or("tex_backend", "auto")),
+                    tex_miss_cap=tex_miss_cap,
                     pair_cap=pair_cap)
 
             out = do_render(active_sh_degree)
@@ -376,22 +383,36 @@ class TextureGaussian3D:
 
         self._rng, key = jax.random.split(self._rng)
         n_inv = int(self.cfg.get_or("max_inverse_points", 0))
-        # pair-cap feedback with exact retry on overflow (texgs.train.pair_cap)
+        # pair-cap + textile-miss feedback with exact retry on overflow
+        # (texgs.train.pair_cap): a step whose binning dropped pairs or
+        # whose texture windows dropped taps never reaches the params
         default_cap = max(4 * self.gauss_params["xyz"].shape[0], 1 << 14)
-        for _attempt in range(4):
+        cfg_tb = self.cfg.get_or("tex_backend", "auto")
+        use_textile = cfg_tb == "textile" or (
+            cfg_tb == "auto"
+            and self.cfg.get_or("backend", "auto") == "pallas")
+        tex_backend = (self._tex_miss.backend_for_step() if use_textile
+                       else None)
+        for _attempt in range(8):
             result = self._train_step(
                 self.gauss_params, self.uv_params, self.tex_params,
                 self.adam_g, self.adam_uv, self.adam_tex, viewpoint, key,
                 lrs, lambdas, apply_flags, flags, self.active_sh_degree,
-                n_inv, self._pair_caps.current(default_cap))
+                n_inv, self._pair_caps.current(default_cap),
+                tex_backend, self._tex_miss.cap)
             stats = result[7]
-            if "pair_overflow" not in stats:
-                break
-            n_pairs = int(stats["n_pairs"])
-            if not bool(stats["pair_overflow"]):
-                self._pair_caps.observe(n_pairs, default_cap)
-                break
-            self._pair_caps.grow(n_pairs, default_cap)
+            if "pair_overflow" in stats and bool(stats["pair_overflow"]):
+                self._pair_caps.grow(int(stats["n_pairs"]), default_cap)
+                continue
+            if "n_pairs" in stats:
+                self._pair_caps.observe(int(stats["n_pairs"]), default_cap)
+            tex_miss = stats.get("tex_miss")
+            if tex_miss is not None and int(tex_miss) > 0:
+                tex_backend = self._tex_miss.on_overflow(int(tex_miss))
+                continue
+            if tex_backend == "textile":
+                self._tex_miss.on_textile_ok()
+            break
         (self.gauss_params, self.uv_params, self.tex_params, self.adam_g,
          self.adam_uv, self.adam_tex, loss, stats) = result
         self._eval_cache = None
