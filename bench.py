@@ -100,6 +100,12 @@ def _run_bench(backend):
 
 
 def main():
+    if "--verify" in sys.argv:
+        # kernel-vs-twin allclose with the kernels compiled on the current
+        # backend (texgs.tools.verify_compiled) instead of the throughput run
+        from texgs.tools.verify_compiled import main as verify_main
+        raise SystemExit(verify_main())
+
     # Always emit exactly one JSON line, degrading through backends if a
     # compile/runtime failure occurs (e.g. no TPU available).
     import traceback

@@ -275,3 +275,38 @@ def test_stage2_depth_alpha_cache_keying():
     assert model.depth_alpha(b)[0] == "test_0"   # would alias pre-fix
     assert model.depth_alpha(a)[0] == "train_0"  # still cached
     assert len(calls) == 2
+
+
+def test_blender_datagen_pose_convention():
+    """scripts/render_obj_file.py writes hand-built OpenGL look-at c2w
+    matrices (reference scripts/render_obj_file.py:545-564); through the
+    Blender reader's convention flip they must put the world origin on the
+    camera's +Z optical axis at the orbit radius."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "render_obj_file",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "render_obj_file.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    radius = 1.5
+    for elev, azim in [(0, 0), (30, 45), (-20, 200), (85, 310)]:
+        pos = mod.orbit_position(elev, azim, radius)
+        c2w = mod.lookat_c2w(pos)
+        # orthonormal rotation, camera at pos
+        np.testing.assert_allclose(c2w[:3, :3] @ c2w[:3, :3].T, np.eye(3),
+                                   atol=1e-12)
+        np.testing.assert_allclose(c2w[:3, 3], pos)
+        # reader convention (readers.py read_blender): flip Y/Z columns,
+        # invert -> COLMAP w2c with +Z forward
+        flipped = c2w.copy()
+        flipped[:3, 1:3] *= -1
+        w2c = np.linalg.inv(flipped)
+        origin_cam = w2c[:3, :3] @ np.zeros(3) + w2c[:3, 3]
+        np.testing.assert_allclose(origin_cam, [0, 0, radius], atol=1e-12)
+
+    # northern-hemisphere clamp mirrors z
+    pos = mod.orbit_position(-30, 0, radius, only_northern_hemisphere=True)
+    assert pos[2] > 0

@@ -136,20 +136,21 @@ def test_stage2_losses_finite_and_learning(stage2):
 
 
 def test_stage2_chess_visualization(stage2):
+    """The chess visualization must actually map UVs: the checkerboard
+    cubemap has distinct cyan/red cells, so the composited image over a
+    surface-covering view must contain BOTH colors (not just shape)."""
     cfg, model, _ = stage2
-    from texgs.data.scene import create_dataset
-    log = get_logger("texgs-test")
-    pkg = None
-    for cam_uid, cached in list(model._depth_alpha_cache.items())[:1]:
-        pass
-    # use any camera from the cache-producing scene via visual_step
-    # (re-create a camera from the synthetic scene)
     from texgs.data.synthetic import orbit_cameras
     cam = orbit_cameras(1, radius=3.5, width=48, height=48)[0]
     pkg = model.visual_step(0, 0, cam, None)
     chess = np.asarray(pkg["chess_image"])
     assert chess.shape == (3, 48, 48)
     assert np.isfinite(chess).all()
+    # foreground = pixels the splat covers; cyan cells have B>R, red R>B
+    fg = chess.max(axis=0) > 0.2
+    assert fg.sum() > 50, "chess image empty"
+    rb = chess[0][fg] - chess[2][fg]
+    assert (rb > 0.1).any() and (rb < -0.1).any(),         "chessboard colors missing - UVs not mapped"
 
 
 @pytest.fixture(scope="module")

@@ -62,14 +62,14 @@ def dp_train_step(mesh: Mesh, state: GaussianState, params, adam,
     # body (zeros) and joined with device-varying camera data; disabling the
     # varying-axis check avoids having to thread pvary through the kernels.
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P("data")),
+             in_specs=(P(), P(), P(), P("data")),
              out_specs=(P(), P(), P()),
              check_vma=False)
-    def step(params, adam, cam_shard):
+    def step(st_in, params, adam, cam_shard):
         cam = index_camera(cam_shard, 0)  # one camera per chip
 
         def loss_fn(p):
-            st = state.replace(
+            st = st_in.replace(
                 xyz=p["xyz"], features_dc=p["f_dc"],
                 features_rest=p["f_rest"], opacity=p["opacity"],
                 scaling=p["scaling"], rotation=p["rotation"])
@@ -89,4 +89,6 @@ def dp_train_step(mesh: Mesh, state: GaussianState, params, adam,
         new_params, new_adam = optim.update(params, grads, adam, lr)
         return new_params, new_adam, loss
 
-    return jax.jit(step)(params, adam, camera_batch)
+    # state passed as an argument: large closure-captured arrays get
+    # corrupted when baked into big jit programs on the axon platform
+    return jax.jit(step)(state, params, adam, camera_batch)

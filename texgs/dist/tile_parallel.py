@@ -93,10 +93,10 @@ def dp_tile_train_step(mesh: Mesh, state, params, adam, camera_batch: Camera,
     band_h = band_height(ref_cam.height, n_bands)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(data_axis)),
+             in_specs=(P(), P(), P(), P(data_axis)),
              out_specs=(P(), P(), P()),
              check_vma=False)
-    def step(params, adam, cam_shard):
+    def step(st_in, params, adam, cam_shard):
         cam = index_camera(cam_shard, 0)
         band = jax.lax.axis_index(tile_axis)
         row0 = band * band_h
@@ -109,7 +109,7 @@ def dp_tile_train_step(mesh: Mesh, state, params, adam, camera_batch: Camera,
         row_mask = (rows < cam.height).astype(jnp.float32)[None, :, None]
 
         def loss_fn(p):
-            st = state.replace(
+            st = st_in.replace(
                 xyz=p["xyz"], features_dc=p["f_dc"],
                 features_rest=p["f_rest"], opacity=p["opacity"],
                 scaling=p["scaling"], rotation=p["rotation"])
@@ -129,10 +129,15 @@ def dp_tile_train_step(mesh: Mesh, state, params, adam, camera_batch: Camera,
             return err / n_px
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = jax.lax.pmean(grads, data_axis)
+        # psum's transpose SUMS the (replicated) cotangents, so each chip's
+        # grad already carries an n_tile factor on top of its band's
+        # contribution — the tile-axis pmean cancels it exactly (verified
+        # by the mu == 0.1 * mean-camera-grad assertion in test_dist)
         grads = jax.lax.pmean(grads, tile_axis)
+        grads = jax.lax.pmean(grads, data_axis)
         loss = jax.lax.pmean(loss, data_axis)
         new_params, new_adam = optim.update(params, grads, adam, lr)
         return new_params, new_adam, loss
 
-    return jax.jit(step)(params, adam, camera_batch)
+    # state as an argument: axon corrupts big closure-baked constants
+    return jax.jit(step)(state, params, adam, camera_batch)
