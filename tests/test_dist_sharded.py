@@ -261,3 +261,167 @@ def test_stage3_sharded_2d_mesh_runs_and_is_finite(s3_model):
     delta = float(jnp.abs(tp["texture"]
                           - model.tex_params["texture"]).max())
     assert delta > 0
+
+
+# ------------------------------------------- depth-ordered Gaussian sharding
+
+def test_gauss_sharded_render_matches_single_chip():
+    """Over-operator cross-chip reduce (dist.gauss_sharded): 8 depth-rank
+    slices folded front-to-back must reproduce the single-chip render and
+    its parameter cotangents (up to the bounded T_STOP divergence)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from texgs.dist.gauss_sharded import gauss_sharded_render
+
+    state, cams = _scene(n=512, size=64, views=1)
+    cam = cams[0]
+    rng = np.random.default_rng(5)
+    cot = jnp.asarray(rng.normal(size=(3, 64, 64)), jnp.float32)
+    params = state.params_dict()
+
+    def loss_single(p, cam, cot):
+        st = state.replace(xyz=p["xyz"], features_dc=p["f_dc"],
+                           features_rest=p["f_rest"], opacity=p["opacity"],
+                           scaling=p["scaling"], rotation=p["rotation"])
+        out = render(cam, xyz=st.xyz, opacity=st.get_opacity(),
+                     scaling=st.get_scaling(), rotation=st.get_rotation(),
+                     features=st.get_features(), active_sh_degree=1,
+                     bg_color=jnp.full(3, 0.3), backend="scan")
+        loss = ((out["render"] * cot).sum() + out["alpha"].sum() * 0.1
+                + out["depth"].sum() * 0.01 + out["norm"].sum() * 0.01)
+        return loss, (out["render"], out["depth"], out["norm"], out["alpha"])
+
+    mesh = make_mesh(8, axis_names=("gauss",), shape=(8,))
+
+    @jax.jit
+    def run_sharded(p, cam, cot):
+        def body(p, cam, cot):
+            st = state.replace(xyz=p["xyz"], features_dc=p["f_dc"],
+                               features_rest=p["f_rest"],
+                               opacity=p["opacity"], scaling=p["scaling"],
+                               rotation=p["rotation"])
+
+            def loss_fn(pp):
+                stt = state.replace(
+                    xyz=pp["xyz"], features_dc=pp["f_dc"],
+                    features_rest=pp["f_rest"], opacity=pp["opacity"],
+                    scaling=pp["scaling"], rotation=pp["rotation"])
+                out = gauss_sharded_render(
+                    cam, xyz=stt.xyz, opacity=stt.get_opacity(),
+                    scaling=stt.get_scaling(),
+                    rotation=stt.get_rotation(),
+                    features=stt.get_features(), active_sh_degree=1,
+                    bg_color=jnp.full(3, 0.3), axis_name="gauss",
+                    backend="scan")
+                loss = ((out["render"] * cot).sum()
+                        + out["alpha"].sum() * 0.1
+                        + out["depth"].sum() * 0.01
+                        + out["norm"].sum() * 0.01)
+                return loss, (out["render"], out["depth"], out["norm"],
+                              out["alpha"], out["radii"])
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            grads = jax.lax.psum(grads, "gauss")
+            return loss, aux, grads
+
+        return shard_map(body, mesh=mesh, in_specs=(P(), P(), P()),
+                         out_specs=(P(), P(), P()),
+                         check_vma=False)(p, cam, cot)
+
+    loss_s, aux_s, grads_s = run_sharded(params, cam, cot)
+    (loss_1, aux_1), grads_1 = jax.jit(jax.value_and_grad(
+        loss_single, has_aux=True))(params, cam, cot)
+
+    # outputs: exact up to the bounded local-T_STOP divergence (<= 1e-4)
+    for got, want, name in zip(aux_s[:4], aux_1,
+                               ("render", "depth", "norm", "alpha")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4, err_msg=name)
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-4)
+
+    # radii must be the full set's (densify stats consumer)
+    ref_out = render(cam, xyz=state.xyz, opacity=state.get_opacity(),
+                     scaling=state.get_scaling(),
+                     rotation=state.get_rotation(),
+                     features=state.get_features(), active_sh_degree=1,
+                     bg_color=jnp.full(3, 0.3), backend="scan")
+    np.testing.assert_array_equal(np.asarray(aux_s[4]),
+                                  np.asarray(ref_out["radii"]))
+
+    # parameter cotangents: psum over slices == single-chip gradient
+    for k in grads_1:
+        g1 = np.asarray(grads_1[k])
+        gs = np.asarray(grads_s[k])
+        scale = max(np.abs(g1).max(), 1e-12)
+        np.testing.assert_allclose(gs / scale, g1 / scale, atol=2e-3,
+                                   err_msg=f"grad {k}")
+
+
+def test_over_fold_associativity():
+    """The over fold of k depth slices equals direct front-to-back
+    blending of the concatenated sequence (operator associativity)."""
+    from texgs.dist.gauss_sharded import over_fold
+
+    rng = np.random.default_rng(0)
+    k, f, h, w = 4, 3, 8, 8
+    alphas = rng.uniform(0.0, 0.9, size=(k, 5, h, w)).astype(np.float32)
+    colors = rng.uniform(size=(k, 5, f, h, w)).astype(np.float32)
+
+    # per-slice premultiplied sums + transmittances
+    chans, trans = [], []
+    for i in range(k):
+        t = np.ones((h, w), np.float32)
+        c = np.zeros((f, h, w), np.float32)
+        for j in range(5):
+            c += alphas[i, j] * t * colors[i, j]
+            t = t * (1 - alphas[i, j])
+        chans.append(c)
+        trans.append(t[None])
+    c_tot, t_tot = over_fold(jnp.asarray(np.stack(chans)),
+                             jnp.asarray(np.stack(trans)))
+
+    # direct blend of the concatenated sequence
+    t = np.ones((h, w), np.float32)
+    c = np.zeros((f, h, w), np.float32)
+    for i in range(k):
+        for j in range(5):
+            c += alphas[i, j] * t * colors[i, j]
+            t = t * (1 - alphas[i, j])
+    np.testing.assert_allclose(np.asarray(c_tot), c, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t_tot)[0], t, atol=1e-6)
+
+
+def test_stage1_sharded_gauss_mode_matches_single_step():
+    """Production stage-1 step with the second axis sharding depth-rank
+    Gaussian slices (over-operator fold) instead of image bands."""
+    state, cams = _scene(views=1)
+    adam, stats, lrs, lambdas = _s1_args(state)
+    # seed nu: the over fold's bounded T_STOP divergence (<=1e-4 on pixel
+    # values) must map to a bounded param delta, not an lr*sign() flip
+    adam = optim.AdamState(mu=adam.mu,
+                           nu=jax.tree.map(lambda x: x + 1e-6, adam.nu),
+                           count=adam.count)
+    model = Gaussian3D.__new__(Gaussian3D)
+    s1, a1, st1, loss1, d1 = Gaussian3D._train_step(
+        model, state, adam, stats, cams[0], lrs, lambdas,
+        jnp.asarray(True), S1_FLAGS, 1, None, "scan")
+
+    mesh = make_mesh(4, axis_names=("data", "tile"), shape=(1, 4))
+    s2, a2, st2, loss2, d2 = stage1_sharded_step(
+        mesh, state, adam, stats, stack_cameras(cams[:1]), lrs, lambdas,
+        jnp.asarray(True), S1_FLAGS, 1, backend="scan", shard_mode="gauss")
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    _tree_allclose(s1.params_dict(), s2.params_dict(), atol=3e-4)
+    # densify stats: slice-psum'd ndc grads == single-chip stats up to the
+    # local-T_STOP divergence amplified by the blend backward's 1/(1-alpha)
+    # conditioning (~percent level; the consumer is a coarse threshold)
+    np.testing.assert_allclose(np.asarray(st2.xyz_gradient_accum),
+                               np.asarray(st1.xyz_gradient_accum),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(st2.denom), np.asarray(st1.denom))
+    np.testing.assert_allclose(np.asarray(st2.max_radii2d),
+                               np.asarray(st1.max_radii2d))
+    assert np.isfinite(float(d2["n_pairs"]))

@@ -90,12 +90,13 @@ def _gt_of(cam: Camera):
 @functools.partial(
     jax.jit, static_argnames=("mesh", "flags", "active_sh_degree",
                               "pair_cap", "backend", "data_axis",
-                              "tile_axis"))
+                              "tile_axis", "shard_mode"))
 def stage1_sharded_step(mesh: Mesh, state, adam, stats, camera_batch: Camera,
                         lrs, lambdas, apply_adam, flags: tuple,
                         active_sh_degree: int, pair_cap=None,
                         backend: str = "scan", data_axis: str = "data",
-                        tile_axis: str = "tile"):
+                        tile_axis: str = "tile",
+                        shard_mode: str = "tile"):
     """Sharded twin of ``Gaussian3D._train_step`` (same returns).
 
     camera_batch: stacked cameras with leading dim == mesh.shape[data_axis]
@@ -103,7 +104,14 @@ def stage1_sharded_step(mesh: Mesh, state, adam, stats, camera_batch: Camera,
     Densify stats generalize the reference's one-camera-per-step semantics
     to a batch: per-Gaussian |ndc grad| / visibility summed over the batch
     cameras, max_radii2d maxed over them.
+
+    shard_mode selects how the second mesh axis splits the render work:
+    'tile' = horizontal image bands gathered to the full image (the SP
+    analogue); 'gauss' = depth-rank Gaussian slices folded with the over
+    operator (texgs.dist.gauss_sharded — the ring-attention analogue).
+    Both compute the identical full-image production loss replicated.
     """
+    assert shard_mode in ("tile", "gauss")
     track_stats = flags[6]
     ref_cam = index_camera(camera_batch, 0)
     height, width = ref_cam.height, ref_cam.width
@@ -127,17 +135,30 @@ def stage1_sharded_step(mesh: Mesh, state, adam, stats, camera_batch: Camera,
                 xyz=p["xyz"], features_dc=p["f_dc"],
                 features_rest=p["f_rest"], opacity=p["opacity"],
                 scaling=p["scaling"], rotation=p["rotation"])
-            out = render(cam, xyz=st.xyz, opacity=st.get_opacity(),
-                         scaling=st.get_scaling(),
-                         rotation=st.get_rotation(),
-                         features=st.get_features(),
-                         active_sh_degree=active_sh_degree,
-                         bg_color=lambdas["bg"], ndc_offset=ndc_zero,
-                         backend=backend, pair_cap=pair_cap,
-                         row_offset=row0, band_height=band_h)
-            bands = jnp.concatenate([out["render"], out["depth"],
-                                     out["norm"], out["alpha"]], axis=0)
-            full = _gather_bands(bands, tile_axis, height)
+            if shard_mode == "gauss":
+                from texgs.dist.gauss_sharded import gauss_sharded_render
+                out = gauss_sharded_render(
+                    cam, xyz=st.xyz, opacity=st.get_opacity(),
+                    scaling=st.get_scaling(), rotation=st.get_rotation(),
+                    features=st.get_features(),
+                    active_sh_degree=active_sh_degree,
+                    bg_color=lambdas["bg"], ndc_offset=ndc_zero,
+                    axis_name=tile_axis, backend=backend,
+                    pair_cap=pair_cap)
+                full = jnp.concatenate([out["render"], out["depth"],
+                                        out["norm"], out["alpha"]], axis=0)
+            else:
+                out = render(cam, xyz=st.xyz, opacity=st.get_opacity(),
+                             scaling=st.get_scaling(),
+                             rotation=st.get_rotation(),
+                             features=st.get_features(),
+                             active_sh_degree=active_sh_degree,
+                             bg_color=lambdas["bg"], ndc_offset=ndc_zero,
+                             backend=backend, pair_cap=pair_cap,
+                             row_offset=row0, band_height=band_h)
+                bands = jnp.concatenate([out["render"], out["depth"],
+                                         out["norm"], out["alpha"]], axis=0)
+                full = _gather_bands(bands, tile_axis, height)
             loss, stats_d = stage1_loss_terms(
                 full[0:3], full[3:4], full[4:7], full[7:8], cam,
                 gt_image, gt_alpha,
