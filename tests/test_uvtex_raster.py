@@ -180,3 +180,44 @@ def test_uvtex_pallas_grads_match_scan():
         denom = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / denom, a / denom, atol=2e-3,
                                    err_msg=f"grad mismatch: {name}")
+
+
+def test_uvtex_fused_matches_scan():
+    """Fused blend+M-list kernel (pallas_uvtex_fused): outputs equal the
+    scan twin's."""
+    state, cam, uvs, jac, shs, tex = _scene(n=256, size=32)
+    ref = _run(state, cam, uvs, jac, shs, tex, "scan")
+    got = _run(state, cam, uvs, jac, shs, tex, "fused")
+    assert_close_mostly(got.image, ref.image, atol=1e-4, frac=0.995,
+                        hard_atol=3e-2, name="image")
+    assert_close_mostly(got.alpha, ref.alpha, atol=3e-5, name="alpha")
+    assert_close_mostly(got.depth, ref.depth, atol=1e-4, name="depth")
+    assert_close_mostly(got.norm, ref.norm, atol=3e-5, name="norm")
+
+
+def test_uvtex_fused_grads_match_scan():
+    """The fused backward's combined suffix trick must reproduce the two
+    separate custom VJPs: every cotangent vs the scan twin."""
+    state, cam, uvs, jac, shs, tex = _scene(n=192, size=32)
+    target = jnp.zeros((3, cam.height, cam.width))
+
+    def make_loss(backend):
+        def f(xyz, uvs_, tex_, shs_, scaling_raw):
+            st = state.replace(xyz=xyz, scaling=scaling_raw)
+            out = _run(st, cam, uvs_, jac, shs_, tex_, backend)
+            # touch every output so the blend-block AND M-list cotangents
+            # are simultaneously non-trivial in the fused backward
+            return (jnp.abs(out.image - target).mean()
+                    + 0.1 * out.alpha.mean() + 0.01 * out.depth.mean()
+                    + 0.01 * out.norm.mean())
+        return f
+
+    args = (state.xyz, uvs, tex, shs, state.scaling)
+    g_ref = jax.grad(make_loss("scan"), argnums=(0, 1, 2, 3, 4))(*args)
+    g_fus = jax.grad(make_loss("fused"), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b, name in zip(g_ref, g_fus,
+                          ["xyz", "uvs", "texture", "shs", "scaling"]):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / denom, a / denom, atol=2e-3,
+                                   err_msg=f"grad mismatch: {name}")

@@ -398,27 +398,38 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
     attrs = build_pair_attrs(proj, pairs, height, width, extra_attrs)
     n_extra = 0 if extra_attrs is None else extra_attrs.shape[1]
 
-    if backend == "pallas":
-        from texgs.kernels.pallas_raster import rasterize_pallas
-        tiles_out, t_final = rasterize_pallas(attrs, pairs, height, width,
-                                              chunk)
+    if backend == "fused":
+        # one chunk pass produces blend channels AND M-lists (the two
+        # kernels replay identical weights; see pallas_uvtex_fused)
+        from texgs.kernels.pallas_uvtex_fused import fused_pallas
+        uv_rows = build_uv_rows(tables, pairs)
+        tiles_out, t_final, mlist = fused_pallas(
+            attrs, uv_rows.T, pairs, camera, chunk, m, height=height,
+            row_offset=row_offset)
+        base = assemble_image(tiles_out, t_final, height, width, bg,
+                              n_extra, normalize_depth)
     else:
-        tiles_out, t_final = rasterize_scan(attrs, pairs, height, width,
-                                            chunk)
-    base = assemble_image(tiles_out, t_final, height, width, bg, n_extra,
-                          normalize_depth)
+        if backend == "pallas":
+            from texgs.kernels.pallas_raster import rasterize_pallas
+            tiles_out, t_final = rasterize_pallas(attrs, pairs, height,
+                                                  width, chunk)
+        else:
+            tiles_out, t_final = rasterize_scan(attrs, pairs, height, width,
+                                                chunk)
+        base = assemble_image(tiles_out, t_final, height, width, bg, n_extra,
+                              normalize_depth)
 
-    uv_rows = build_uv_rows(tables, pairs)
-    if backend == "pallas":
-        from texgs.kernels.pallas_uvtex import mlist_pallas
-        mlist = mlist_pallas(attrs, uv_rows.T, pairs, camera, chunk, m,
-                             height=height, row_offset=row_offset)
-    else:
-        mlist = mlist_scan(attrs, uv_rows, pairs, camera, chunk, m,
-                           height=height, row_offset=row_offset)
+        uv_rows = build_uv_rows(tables, pairs)
+        if backend == "pallas":
+            from texgs.kernels.pallas_uvtex import mlist_pallas
+            mlist = mlist_pallas(attrs, uv_rows.T, pairs, camera, chunk, m,
+                                 height=height, row_offset=row_offset)
+        else:
+            mlist = mlist_scan(attrs, uv_rows, pairs, camera, chunk, m,
+                               height=height, row_offset=row_offset)
 
     if tex_backend == "auto":
-        tex_backend = "textile" if backend == "pallas" else "xla"
+        tex_backend = "textile" if backend in ("pallas", "fused") else "xla"
     tex_miss = None
     if tex_backend == "textile":
         from texgs.kernels.pallas_textile import tex_term_textile
