@@ -36,10 +36,53 @@ def _hash(ix, iy, iz, table_size: int):
     return (h % jnp.uint32(table_size)).astype(jnp.int32)
 
 
-def apply_hashgrid(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """x: (N, 3) in [0, 1] -> (N, L * F) encoded features."""
+def _indices_and_weights(x: jnp.ndarray, n_levels: int, table_size: int):
+    """Corner hash indices (L*8, N) + trilinear weights (L*8, N).
+
+    Weights are differentiable in x; indices are integer (stop-grad by
+    construction)."""
+    idxs, ws = [], []
+    for level in range(n_levels):
+        res = int(math.floor(BASE_RESOLUTION * PER_LEVEL_SCALE ** level))
+        pos = x * res
+        ipos = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - ipos
+        for corner in range(8):
+            dx, dy, dz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
+            idxs.append(_hash(ipos[:, 0] + dx, ipos[:, 1] + dy,
+                              ipos[:, 2] + dz, table_size))
+            ws.append(jnp.where(dx, frac[:, 0], 1 - frac[:, 0])
+                      * jnp.where(dy, frac[:, 1], 1 - frac[:, 1])
+                      * jnp.where(dz, frac[:, 2], 1 - frac[:, 2]))
+    return jnp.stack(idxs), jnp.stack(ws)
+
+
+def apply_hashgrid(params: dict, x: jnp.ndarray,
+                   backend: str = "auto") -> jnp.ndarray:
+    """x: (N, 3) in [0, 1] -> (N, L * F) encoded features.
+
+    backend: 'xla' (per-corner HBM gathers), 'pallas' (VMEM-resident
+    tables, lane-local gathers — texgs.nets.pallas_hashgrid), or 'auto'
+    (pallas on TPU when the table shape qualifies)."""
     table = params["table"]
     n_levels, table_size, n_feat = table.shape
+
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and table_size % 128 == 0 else "xla")
+
+    if backend == "pallas" and table_size % 128 == 0:
+        from texgs.nets.pallas_hashgrid import BLOCK_Q, hash_gather
+        n = x.shape[0]
+        idx, w = _indices_and_weights(x, n_levels, table_size)
+        pad = (-n) % BLOCK_Q
+        if pad:
+            idx = jnp.pad(idx, ((0, 0), (0, pad)))
+        gathered = hash_gather(table, idx, n_levels, 8)  # (L*8, F, Np)
+        gathered = gathered[..., :n]
+        feats = ((gathered * w[:, None, :])
+                 .reshape(n_levels, 8, n_feat, n).sum(axis=1))  # (L, F, N)
+        return feats.transpose(2, 0, 1).reshape(n, n_levels * n_feat)
 
     outs = []
     for level in range(n_levels):
