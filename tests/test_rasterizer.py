@@ -232,3 +232,29 @@ def test_pair_cap_controller_schedule():
     assert not c2.observe(600, default=1024)  # busy -> reset
     assert not c2.observe(100, default=1024)
     assert c2.observe(100, default=1024)
+
+
+def test_binning_scatter_layout_identical():
+    """The scatter-built stage-5 layout (NOTES round-2 item 3) must produce
+    a bit-identical PairList to the gather-built one, including at pair-cap
+    overflow."""
+    from texgs.kernels.binning import build_pairs
+    from texgs.kernels import project as proj_k
+
+    pcd = blob_point_cloud(512, seed=2)
+    st = init_from_pcd(pcd.points, pcd.colors, max_sh_degree=1)
+    cam = orbit_cameras(1, radius=3.5, width=64, height=64)[0]
+    proj = proj_k.project_gaussians(
+        st.xyz, st.get_scaling(), st.get_rotation(), st.get_opacity(),
+        jnp.zeros_like(st.xyz), cam.world_view, cam.full_proj,
+        cam.camera_center, cam.width, cam.height, cam.tanfovx, cam.tanfovy)
+
+    for cap in (4 * 512, 256):   # ample + deliberately overflowing
+        a = build_pairs(proj.means2d, proj.depths, proj.radii, 64, 64,
+                        cap, 64, scatter_layout=False)
+        b = build_pairs(proj.means2d, proj.depths, proj.radii, 64, 64,
+                        cap, 64, scatter_layout=True)
+        for f in a._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                err_msg=f"{f} @ cap {cap}")

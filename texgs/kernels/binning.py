@@ -75,12 +75,19 @@ def _interval_index(starts: jnp.ndarray, n_slots: int) -> jnp.ndarray:
 
 
 def build_pairs(means2d: jnp.ndarray, depths: jnp.ndarray, radii: jnp.ndarray,
-                height: int, width: int, pair_cap: int, chunk: int) -> PairList:
+                height: int, width: int, pair_cap: int, chunk: int,
+                scatter_layout: bool = False) -> PairList:
     """Build the sorted, chunk-aligned pair list.
 
     means2d/depths/radii: per-Gaussian projection results (capacity-sized;
     dead entries have radius 0).  ``pair_cap`` bounds true pairs (overflow
     drops the deepest-expansion pairs and sets ``overflowed``).
+
+    scatter_layout: build stage 5 (the padded chunk-aligned layout) by
+    scattering the pair_cap sorted pairs to their padded slots instead of
+    gathering each padded slot's source — fewer per-element ops when the
+    tile-padding overhead is large (NOTES.md round-2 item 3); results are
+    identical (tests assert equality).
     """
     means2d = jax.lax.stop_gradient(means2d)
     depths = jax.lax.stop_gradient(depths)
@@ -166,8 +173,19 @@ def build_pairs(means2d: jnp.ndarray, depths: jnp.ndarray, radii: jnp.ndarray,
 
     pslots = jnp.arange(cap, dtype=jnp.int32)
     pvalid = (pslots < bcast(trows_c[:, 1])) & bcast(chunk_live)
-    src = jnp.clip(pslots + bcast(trows_c[:, 0]), 0, pair_cap - 1)
-    pair_gauss = jnp.where(pvalid, sorted_g[src], -1)
+    if scatter_layout:
+        # forward route: sorted pair j of tile t lands at
+        # padded_starts[t] + (j - starts[t]); invalid pairs park at cap
+        j = jnp.arange(pair_cap, dtype=jnp.int32)
+        live_pair = sorted_g >= 0
+        t_j = jnp.clip(sorted_tile, 0, n_tiles - 1)
+        dst = padded_starts[t_j] + (j - starts[t_j])
+        dst = jnp.where(live_pair, dst, cap)
+        pair_gauss = jnp.full((cap + 1,), -1, jnp.int32).at[dst].set(
+            sorted_g, mode="drop")[:cap]
+    else:
+        src = jnp.clip(pslots + bcast(trows_c[:, 0]), 0, pair_cap - 1)
+        pair_gauss = jnp.where(pvalid, sorted_g[src], -1)
     pair_tile = jnp.where(pvalid, bcast(ct), n_tiles)
 
     return PairList(
