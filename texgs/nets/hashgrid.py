@@ -68,8 +68,11 @@ def apply_hashgrid(params: dict, x: jnp.ndarray,
     n_levels, table_size, n_feat = table.shape
 
     if backend == "auto":
+        # pallas only for real batches: tiny/vmapped-single queries would
+        # pad each call to BLOCK_Q and lose to the plain gather
         backend = ("pallas" if jax.default_backend() == "tpu"
-                   and table_size % 128 == 0 else "xla")
+                   and table_size % 128 == 0 and x.shape[0] >= 1024
+                   else "xla")
 
     if backend == "pallas" and table_size % 128 == 0:
         from texgs.nets.pallas_hashgrid import BLOCK_Q, hash_gather

@@ -226,9 +226,17 @@ class TextureGaussian3D:
 
         def f(p):
             return apply_uv_net(nets_d["uv_net"], self.cfg.uv_net_cfg,
-                                p[None, :], nets_d["geo_emb"])[0]
+                                p, nets_d["geo_emb"])
 
-        jac = jax.vmap(jax.jacfwd(f))(xyz_d)  # (N, 3, 3) duv/dxyz
+        # duv/dxyz as 3 batched JVPs: the net is row-wise in xyz, so a
+        # basis tangent broadcast over all points yields column j of every
+        # point's Jacobian at once (== vmap(jacfwd(single-point f)), but
+        # the hash-grid/MLP stack runs batched — pallas-gather eligible)
+        cols = []
+        for j in range(3):
+            t = jnp.zeros_like(xyz_d).at[:, j].set(1.0)
+            cols.append(jax.jvp(f, (xyz_d,), (t,))[1])   # (N, 3)
+        jac = jnp.stack(cols, axis=-1)                    # (N, 3, 3)
         return uvs, jax.lax.stop_gradient(jac.reshape(-1, 9))
 
     # ------------------------------------------------------ jitted core
@@ -390,7 +398,7 @@ class TextureGaussian3D:
         cfg_tb = self.cfg.get_or("tex_backend", "auto")
         use_textile = cfg_tb == "textile" or (
             cfg_tb == "auto"
-            and self.cfg.get_or("backend", "auto") == "pallas")
+            and self.cfg.get_or("backend", "auto") in ("pallas", "fused"))
         tex_backend = (self._tex_miss.backend_for_step() if use_textile
                        else None)
         for _attempt in range(8):
