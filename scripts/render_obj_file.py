@@ -59,6 +59,8 @@ def lookat_c2w(pos: np.ndarray, up=(0.0, 0.0, 1.0)) -> np.ndarray:
     reference's hand-built matrix (ref render_obj_file.py:545-564)."""
     up = np.asarray(up, dtype=np.float64)
     z = pos / np.linalg.norm(pos)
+    if abs(np.dot(up, z)) > 1.0 - 1e-9:   # looking straight up/down the
+        up = np.array([0.0, 1.0, 0.0])    # world up: pick a fallback up
     x = np.cross(up, z)
     x = x / np.linalg.norm(x)
     y = np.cross(z, x)
@@ -133,8 +135,13 @@ def main():
         prefs.get_devices()
         scene.cycles.device = "GPU"
         accel = [d for d in prefs.devices if d.type in ("OPTIX", "CUDA")]
-        for i, d in enumerate(prefs.devices):
-            d.use = (not accel or d.type in ("OPTIX", "CUDA")) and i == args.gpu
+        # --gpu indexes the ACCELERATOR list (CPU entries excluded) so the
+        # default --gpu 0 enables the first GPU wherever Blender lists it
+        pick = accel if accel else list(prefs.devices)
+        for d in prefs.devices:
+            d.use = False
+        if pick:
+            pick[min(args.gpu, len(pick) - 1)].use = True
     except Exception:
         scene.cycles.device = "CPU"
 

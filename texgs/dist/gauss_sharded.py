@@ -49,18 +49,11 @@ import jax
 import jax.numpy as jnp
 
 from texgs.core.camera import Camera
+from texgs.dist.sharded import _grad_scale
 from texgs.kernels import project as proj_k
 from texgs.kernels.binning import build_pairs
 from texgs.kernels.tile_raster import (assemble_image, build_pair_attrs,
                                        rasterize_scan)
-
-
-def _grad_scale(x, s: float):
-    """Value-preserving gradient rescale (see dist.sharded._grad_scale)."""
-    if s == 1.0:
-        return x
-    return jax.tree.map(
-        lambda a: a * s + jax.lax.stop_gradient(a) * (1.0 - s), x)
 
 
 def over_fold(channels: jnp.ndarray, trans: jnp.ndarray):
@@ -125,7 +118,14 @@ def gauss_sharded_render(viewpoint_camera: Camera, *,
 
     if pair_cap is None:
         pair_cap = max(4 * n, 1 << 14)
-    slice_cap = -(-max(pair_cap // n_chips, 1 << 12) // chunk) * chunk
+    # Depth-contiguous slices are pair-count skewed (near Gaussians have
+    # the largest footprints), so a uniform pair_cap/n split would let the
+    # front slice overflow while total pairs stay under cap.  2x headroom
+    # absorbs typical skew; a genuinely overflowing slice sets
+    # pairs.overflowed, which callers reduce over the axis and feed the
+    # pair-cap controller — growing pair_cap grows the slice cap too.
+    slice_cap = -(-max(min(2 * pair_cap // n_chips, pair_cap),
+                       1 << 12) // chunk) * chunk
 
     pairs = build_pairs(sliced.means2d, sliced.depths, sliced.radii,
                         cam.height, cam.width, slice_cap, chunk)

@@ -193,6 +193,10 @@ def stage1_sharded_step(mesh: Mesh, state, adam, stats, camera_batch: Camera,
         if n_pairs is not None:
             n_pairs = jax.lax.psum(n_pairs, tile_axis)
             n_pairs = jax.lax.pmax(n_pairs, data_axis)
+            # overflow is device-varying across BOTH axes (a single band /
+            # depth slice can overflow alone); reduce over both or a
+            # non-zero chip's True is silently dropped by out_specs P()
+            overflow = jax.lax.pmax(overflow, tile_axis)
             overflow = jax.lax.pmax(overflow, data_axis)
             stats_d = dict(stats_d, n_pairs=n_pairs, pair_overflow=overflow)
         return param_grads, loss, stats_d, d_accum, d_denom, r_max

@@ -74,21 +74,30 @@ def _interval_index(starts: jnp.ndarray, n_slots: int) -> jnp.ndarray:
     return jnp.cumsum(marks) - 1
 
 
+# Stage-5 layout strategy used when build_pairs is called without an
+# explicit choice (i.e. by every production call site).  Flip after the
+# on-chip timing (scratch/r2_perf.py) picks a winner.
+SCATTER_LAYOUT_DEFAULT = False
+
+
 def build_pairs(means2d: jnp.ndarray, depths: jnp.ndarray, radii: jnp.ndarray,
                 height: int, width: int, pair_cap: int, chunk: int,
-                scatter_layout: bool = False) -> PairList:
+                scatter_layout: bool | None = None) -> PairList:
     """Build the sorted, chunk-aligned pair list.
 
     means2d/depths/radii: per-Gaussian projection results (capacity-sized;
     dead entries have radius 0).  ``pair_cap`` bounds true pairs (overflow
     drops the deepest-expansion pairs and sets ``overflowed``).
 
-    scatter_layout: build stage 5 (the padded chunk-aligned layout) by
-    scattering the pair_cap sorted pairs to their padded slots instead of
-    gathering each padded slot's source — fewer per-element ops when the
-    tile-padding overhead is large (NOTES.md round-2 item 3); results are
-    identical (tests assert equality).
+    scatter_layout (None = SCATTER_LAYOUT_DEFAULT): build stage 5 (the
+    padded chunk-aligned layout) by scattering the pair_cap sorted pairs
+    to their padded slots instead of gathering each padded slot's source —
+    fewer per-element ops when the tile-padding overhead is large
+    (NOTES.md round-2 item 3); results are identical (tests assert
+    equality).
     """
+    if scatter_layout is None:
+        scatter_layout = SCATTER_LAYOUT_DEFAULT
     means2d = jax.lax.stop_gradient(means2d)
     depths = jax.lax.stop_gradient(depths)
 

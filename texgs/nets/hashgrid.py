@@ -68,40 +68,28 @@ def apply_hashgrid(params: dict, x: jnp.ndarray,
     n_levels, table_size, n_feat = table.shape
 
     if backend == "auto":
-        # pallas only for real batches: tiny/vmapped-single queries would
-        # pad each call to BLOCK_Q and lose to the plain gather
+        # pallas only for real batches (tiny/vmapped-single queries would
+        # pad each call to BLOCK_Q) and VMEM-sized tables (the kernel
+        # unrolls table_size/128 segments and holds every level resident;
+        # past 2^13 entries the unroll and the block both blow up)
         backend = ("pallas" if jax.default_backend() == "tpu"
-                   and table_size % 128 == 0 and x.shape[0] >= 1024
+                   and table_size % 128 == 0 and table_size <= 8192
+                   and x.shape[0] >= 1024
                    else "xla")
+
+    n = x.shape[0]
+    idx, w = _indices_and_weights(x, n_levels, table_size)
 
     if backend == "pallas" and table_size % 128 == 0:
         from texgs.nets.pallas_hashgrid import BLOCK_Q, hash_gather
-        n = x.shape[0]
-        idx, w = _indices_and_weights(x, n_levels, table_size)
         pad = (-n) % BLOCK_Q
-        if pad:
-            idx = jnp.pad(idx, ((0, 0), (0, pad)))
-        gathered = hash_gather(table, idx, n_levels, 8)  # (L*8, F, Np)
+        idx_p = jnp.pad(idx, ((0, 0), (0, pad))) if pad else idx
+        gathered = hash_gather(table, idx_p, n_levels, 8)  # (L*8, F, Np)
         gathered = gathered[..., :n]
-        feats = ((gathered * w[:, None, :])
-                 .reshape(n_levels, 8, n_feat, n).sum(axis=1))  # (L, F, N)
-        return feats.transpose(2, 0, 1).reshape(n, n_levels * n_feat)
+    else:
+        gathered = jnp.moveaxis(
+            table[jnp.arange(n_levels).repeat(8)[:, None], idx], -1, 1)
 
-    outs = []
-    for level in range(n_levels):
-        res = int(math.floor(BASE_RESOLUTION * PER_LEVEL_SCALE ** level))
-        pos = x * res
-        ipos = jnp.floor(pos).astype(jnp.int32)
-        frac = pos - ipos
-
-        feats = 0.0
-        for corner in range(8):
-            dx, dy, dz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
-            idx = _hash(ipos[:, 0] + dx, ipos[:, 1] + dy, ipos[:, 2] + dz,
-                        table_size)
-            w = (jnp.where(dx, frac[:, 0], 1 - frac[:, 0])
-                 * jnp.where(dy, frac[:, 1], 1 - frac[:, 1])
-                 * jnp.where(dz, frac[:, 2], 1 - frac[:, 2]))
-            feats = feats + w[:, None] * table[level, idx]
-        outs.append(feats)
-    return jnp.concatenate(outs, axis=-1)
+    feats = ((gathered * w[:, None, :])
+             .reshape(n_levels, 8, n_feat, n).sum(axis=1))      # (L, F, N)
+    return feats.transpose(2, 0, 1).reshape(n, n_levels * n_feat)
