@@ -371,8 +371,10 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
 
     if backend == "auto":
         # on TPU the dense oracle's compile is pathological (minutes through
-        # remote compile); the chunked path is the production one there
-        backend = ("scan" if jax.default_backend() == "tpu"
+        # remote compile); the Pallas kernels are the production path there
+        # (and the trainer's textile texture controller only engages for
+        # pallas/fused — auto='scan' would silently fall to per-tap XLA)
+        backend = ("pallas" if jax.default_backend() == "tpu"
                    else ("reference" if xyz.shape[0] <= 4096 else "scan"))
     if backend == "reference":
         assert row_offset is None, "band rendering needs a tiled backend"
