@@ -44,6 +44,21 @@ from texgs.kernels.tile_raster import N_QUAD, PIX, ROW_F0, ROW_LOGOP
 
 NEG_BIG = -1e20
 
+# Cast the blend contractions' operands to bf16 (f32 accumulate) — halves
+# the MXU/VMEM traffic of the attribute blend at ~0.4% relative channel
+# error (NOTES.md round-2 item 4).  Off until the on-chip timing + PSNR
+# sweep (scratch/r2_perf.py) justifies it; the exponent/weight math stays
+# f32 either way.
+BLEND_BF16 = False
+
+
+def _mxu_dot(a, b, dims):
+    if BLEND_BF16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -176,9 +191,7 @@ def _fwd_kernel(ct_ref, flags_ref, attrs_ref, out_ref, tbuf, dbuf):
         w, _, _, _, _, t_out, done_out = _chunk_core(
             attrs_ref[:, :], tbuf[:, :], dbuf[:, :])
         f_attrs = attrs_ref[ROW_F0:, :]
-        out = jax.lax.dot_general(
-            f_attrs, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (F, PIX)
+        out = _mxu_dot(f_attrs, w, ((1,), (1,)))              # (F, PIX)
 
         prev = out_ref[0]                                     # (PAD_F, PIX)
         base = jnp.where(first, 0.0, prev[:n_f])
@@ -221,14 +234,10 @@ def _bwd_kernel(ct_ref, flags_ref, attrs_ref, fwd_blk_ref, g_blk_ref,
         g_tfin = g_blk[n_f:n_f + 1]
 
         # d f_attrs[f, k] = sum_p g_out[f, p] * w[p, k]
-        df = jax.lax.dot_general(
-            g_out, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (F, K)
+        df = _mxu_dot(g_out, w, ((1,), (0,)))                 # (F, K)
 
         # fi_dot_g[p, k] = sum_f f_attrs[f, k] * g_out[f, p]
-        fi_dot_g = jax.lax.dot_general(
-            g_out, f_attrs, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (PIX, K)
+        fi_dot_g = _mxu_dot(g_out, f_attrs, ((0,), (0,)))     # (PIX, K)
 
         s = w * fi_dot_g
         prefix_dot = pbuf[:, :] + _cumsum_incl_lanes(s)       # (PIX, K)

@@ -33,8 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from texgs.kernels.binning import PairList, grid_shape
 from texgs.kernels.pallas_raster import (_chunk_core, _cumsum_incl_lanes,
-                                         _interpret, _pad_f, _pixel_basis,
-                                         _safe_tiles)
+                                         _interpret, _mxu_dot, _pad_f,
+                                         _pixel_basis, _safe_tiles)
 from texgs.kernels.pallas_uvtex import (U_ROWS, _intersect, _m_pad, _rays)
 from texgs.kernels.reference import ALPHA_CLAMP, TILE
 from texgs.kernels.tile_raster import PIX, ROW_F0
@@ -67,9 +67,7 @@ def _fused_fwd_kernel(ct_ref, flags_ref, cam_ref, attrs_ref, uv_ref,
 
         # ---- blend output (pallas_raster._fwd_kernel body)
         f_attrs = attrs_blk[ROW_F0:, :]
-        out = jax.lax.dot_general(
-            f_attrs, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (F, PIX)
+        out = _mxu_dot(f_attrs, w, ((1,), (1,)))              # (F, PIX)
         prev = blend_ref[0]
         base = jnp.where(first, 0.0, prev[:n_f])
         t_row = t_out[:, 0][None, :]
@@ -150,12 +148,8 @@ def _fused_bwd_kernel(ct_ref, flags_ref, cam_ref, attrs_ref, uv_ref,
         g_out = g_blend[:n_f]
         g_tfin = g_blend[n_f:n_f + 1]
 
-        df = jax.lax.dot_general(
-            g_out, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (F, K)
-        fi_dot_g = jax.lax.dot_general(
-            g_out, f_attrs, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (PIX, K)
+        df = _mxu_dot(g_out, w, ((1,), (0,)))                 # (F, K)
+        fi_dot_g = _mxu_dot(g_out, f_attrs, ((0,), (0,)))     # (PIX, K)
 
         # ---- M-list cotangent pieces (pallas_uvtex._bwd_kernel)
         d = _rays(cam_ref, px0, py0)
