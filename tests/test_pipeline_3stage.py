@@ -277,3 +277,55 @@ def test_golden_metrics(stage1, stage3):
         (ev3, golden)
     assert ev3["test"]["ssim"] >= golden["stage3_test_ssim"] - golden["margin_ssim"], \
         (ev3, golden)
+
+
+def test_change_texture_blend_modes():
+    """change_texture modes 0-3 parity with the reference blend math
+    (/root/reference/models/texture_gaussian3d.py:463-495): luminance
+    modulation, multiply, divide, masked additive blend."""
+    from texgs.train.texture_gaussian3d import TextureGaussian3D, rgb2sh0, \
+        sh02rgb
+
+    rng = np.random.default_rng(5)
+    res = 8
+    ori_rgb = rng.uniform(0.05, 0.3, size=(6, res, res, 3)).astype(np.float32)
+    swap = np.zeros((3 * res, 4 * res, 3), np.float32)
+    swap_rgb = rng.uniform(0.2, 1.0, size=(6, res, res, 3)).astype(np.float32)
+    # cross layout: +x,-x,+y,-y,+z,-z at the reference's face positions
+    slots = [(res, 2 * res), (res, 0), (0, res), (2 * res, res),
+             (res, res), (res, 3 * res)]
+    for f, (r0, c0) in enumerate(slots):
+        swap[r0:r0 + res, c0:c0 + res] = swap_rgb[f]
+
+    def fresh():
+        m = object.__new__(TextureGaussian3D)
+        m.tex_params = {"texture": jnp.asarray(rgb2sh0(ori_rgb))}
+        return m
+
+    # mode -1: replace
+    m = fresh(); m.change_texture(swap, mode=-1)
+    np.testing.assert_allclose(np.asarray(sh02rgb(m.tex_params["texture"])),
+                               swap_rgb, atol=1e-5)
+    # mode 0: luminance-modulated
+    m = fresh(); m.change_texture(swap, mode=0)
+    lum = np.clip(ori_rgb * 3, 0, 1).mean(-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(sh02rgb(m.tex_params["texture"])),
+                               swap_rgb * lum, atol=1e-5)
+    # mode 1: multiply
+    m = fresh(); m.change_texture(swap, mode=1)
+    np.testing.assert_allclose(np.asarray(sh02rgb(m.tex_params["texture"])),
+                               swap_rgb * ori_rgb, atol=1e-5)
+    # mode 2: divide (sh02rgb readback clamps to [0, 1], reference parity)
+    m = fresh(); m.change_texture(swap, mode=2)
+    np.testing.assert_allclose(np.asarray(sh02rgb(m.tex_params["texture"])),
+                               np.clip(ori_rgb / np.maximum(swap_rgb, 1e-6),
+                                       0, 1), atol=1e-5)
+    # mode 3: masked additive blend (reference: ori[mask] = 2*mean*new;
+    # new += ori)
+    m = fresh(); m.change_texture(swap, mode=3)
+    mask = (swap_rgb.sum(-1) > 0.01)[..., None]
+    want = swap_rgb + np.where(mask,
+                               2 * ori_rgb.mean(-1, keepdims=True) * swap_rgb,
+                               ori_rgb)
+    np.testing.assert_allclose(np.asarray(sh02rgb(m.tex_params["texture"])),
+                               np.clip(want, 0, 1), atol=1e-5)
