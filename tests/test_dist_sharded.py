@@ -449,3 +449,108 @@ def test_stage1_sharded_pallas_backend_composes():
     np.testing.assert_allclose(float(loss_pal), float(loss_scan), rtol=1e-5)
     _tree_allclose(s_pal.params_dict(), s_scan.params_dict(), atol=3e-4)
     _tree_allclose((a_pal.mu, a_pal.nu), (a_scan.mu, a_scan.nu), atol=3e-5)
+
+
+def test_gauss_sharded_uvtex_matches_single_chip():
+    """Stage-3 render sharded by depth-rank slices: the texture term is
+    linear in the blend weights, so per-slice outputs (texture included)
+    fold with the over operator.  Compare vs the single-chip scan path at
+    m high enough that truncation is nil in both."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from texgs.dist.gauss_sharded import gauss_sharded_uv_tex_render
+    from texgs.render.uv_tex_render import uv_tex_render
+
+    pcd = blob_point_cloud(512, seed=7)
+    state = init_from_pcd(pcd.points, pcd.colors, max_sh_degree=2)
+    state = state.replace(opacity=jnp.full_like(state.opacity, 6.0))
+    cam = orbit_cameras(1, radius=3.5, width=48, height=48)[0]
+    uvs = state.xyz / (jnp.linalg.norm(state.xyz, axis=-1,
+                                       keepdims=True) + 1e-12)
+    jac = jax.vmap(jax.jacfwd(
+        lambda p: p / (jnp.linalg.norm(p) + 1e-12)))(state.xyz).reshape(-1, 9)
+    rng = np.random.default_rng(3)
+    tex = jnp.asarray(rng.uniform(size=(6, 32, 32, 3)), jnp.float32)
+    shs = jnp.asarray(0.05 * rng.normal(size=(state.capacity, 8, 3)),
+                      jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(3, 48, 48)), jnp.float32)
+
+    kw = dict(opacity=state.get_opacity(), scaling=state.get_scaling(),
+              rotation=state.get_rotation(), uvs=uvs, grad_uvs=jac,
+              shs=shs, active_sh_degree=2, bg_color=jnp.full(3, 0.2),
+              m=96, tex_backend="xla")
+
+    def loss_single(tex_, xyz_, cot):
+        out = uv_tex_render(cam, xyz=xyz_, texture=tex_, backend="scan",
+                            **kw)
+        return ((out["render"] * cot).sum() + 0.1 * out["alpha"].sum()), \
+            (out["render"], out["depth"], out["alpha"])
+
+    mesh = make_mesh(8, axis_names=("gauss",), shape=(8,))
+
+    @jax.jit
+    def run_sharded(tex_, xyz_, cot):
+        def body(tex_, xyz_, cot):
+            def loss_fn(t, x):
+                out = gauss_sharded_uv_tex_render(
+                    cam, xyz=x, texture=t, axis_name="gauss",
+                    backend="scan", **kw)
+                return ((out["render"] * cot).sum()
+                        + 0.1 * out["alpha"].sum()), \
+                    (out["render"], out["depth"], out["alpha"])
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(tex_, xyz_)
+            grads = jax.lax.psum(grads, "gauss")
+            return loss, aux, grads
+        return shard_map(body, mesh=mesh, in_specs=(P(), P(), P()),
+                         out_specs=(P(), P(), P()),
+                         check_vma=False)(tex_, xyz_, cot)
+
+    loss_s, aux_s, grads_s = run_sharded(tex, state.xyz, cot)
+    (loss_1, aux_1), grads_1 = jax.jit(jax.value_and_grad(
+        loss_single, argnums=(0, 1), has_aux=True))(tex, state.xyz, cot)
+
+    # near-opaque scene (alpha ~0.99): the local-T_STOP divergence bound
+    # is ALPHA_CLAMP * T_STOP / (1 - ALPHA_CLAMP) ~= 1e-2 per channel
+    # (gauss_sharded module docstring)
+    for got, want, name in zip(aux_s, aux_1, ("render", "depth", "alpha")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=6e-3, rtol=5e-3, err_msg=name)
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=3e-3)
+    for g_s, g_1, name in zip(grads_s, grads_1, ("texture", "xyz")):
+        g_s, g_1 = np.asarray(g_s), np.asarray(g_1)
+        scale = max(np.abs(g_1).max(), 1e-12)
+        # xyz grads pass the stop-semantics divergence through the blend
+        # backward's 1/(1-alpha) ~ 100x conditioning on this alpha~0.99
+        # worst-case scene; 2e-2 of grad-max bounds it
+        np.testing.assert_allclose(g_s / scale, g_1 / scale, atol=2e-2,
+                                   err_msg=f"grad {name}")
+
+
+def test_stage3_sharded_gauss_mode_matches_single_step(s3_model):
+    """Production stage-3 step with depth-rank Gaussian slices: texture
+    psum + over-fold must reproduce the single-chip step (soft-opacity
+    scene, so the stop-semantics divergence is far below the tolerance)."""
+    model, cams = s3_model
+    adam_g, adam_uv, adam_tex, lrs, lambdas = _s3_args(model)
+    key = jax.random.PRNGKey(7)
+    single = TextureGaussian3D._train_step(
+        model, model.gauss_params, model.uv_params, model.tex_params,
+        adam_g, adam_uv, adam_tex, cams[0], key, lrs, lambdas, S3_APPLY,
+        S3_FLAGS, 1, 64, None)
+
+    mesh = make_mesh(4, axis_names=("data", "tile"), shape=(1, 4))
+    sharded = stage3_sharded_step(
+        mesh, (model._activated, model._uvs_and_jac), model.gauss_params,
+        model.uv_params, model.tex_params, adam_g, adam_uv, adam_tex,
+        stack_cameras(cams[:1]), key, lrs, lambdas, S3_APPLY, S3_FLAGS,
+        1, 64, model.cfg.uv_net_cfg, model.cfg.inv_uv_net_cfg,
+        backend="scan", tex_backend="xla", m=8, shard_mode="gauss")
+
+    (gp1, up1, tp1, ag1, au1, at1, loss1, st1) = single
+    (gp2, up2, tp2, ag2, au2, at2, loss2, st2) = sharded
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    _tree_allclose(tp1, tp2, atol=3e-4)
+    _tree_allclose(gp1, gp2, atol=3e-4)
+    _tree_allclose(up1, up2, atol=3e-4)

@@ -21,10 +21,13 @@ Per step, every chip
      front-to-back with the over operator.
 
 Semantics vs single-chip: the T < T_STOP early-stop tests each chip's
-*local* transmittance, so Gaussians behind a fully-opaque front slice
-contribute up to T_STOP (=1e-4) extra per channel instead of exactly 0 —
-the one bounded divergence (tests assert atol 5e-4 on outputs and on every
-parameter cotangent).
+*local* transmittance, so entries the single-chip stop would drop can
+contribute across a slice boundary.  The worst-case per-channel divergence
+is the largest weight a stopped entry could have carried:
+alpha * t_excl_at_stop <= ALPHA_CLAMP * T_STOP / (1 - ALPHA_CLAMP) ~= 1e-2
+(reached only for near-opaque Gaussians right at the stop point; soft
+scenes sit orders of magnitude lower — the stage-1 test asserts 5e-4 on a
+soft blob, the uvtex test 6e-3 on an alpha~0.99 scene).
 
 Memory argument (why replicated parameters are acceptable at target
 scale): 10^6 Gaussians x 59 f32 params (SH3) = 236 MB, 10^7 = 2.4 GB —
@@ -177,4 +180,98 @@ def gauss_sharded_render(viewpoint_camera: Camera, *,
         "visibility_filter": radii_full > 0,
         "n_pairs": n_pairs,
         "pair_overflow": overflow,
+    }
+
+
+def gauss_sharded_uv_tex_render(viewpoint_camera: Camera, *,
+                                xyz: jnp.ndarray,
+                                opacity: jnp.ndarray,
+                                scaling: jnp.ndarray,
+                                rotation: jnp.ndarray,
+                                uvs: jnp.ndarray,
+                                grad_uvs: jnp.ndarray,
+                                texture: jnp.ndarray,
+                                shs=None,
+                                active_sh_degree: int = 0,
+                                bg_color: jnp.ndarray,
+                                axis_name: str = "gauss",
+                                backend: str = "scan",
+                                tex_backend: str = "xla",
+                                tex_miss_cap: int = 4096,
+                                m: int = 32,
+                                filter_mode: str = "bilinear",
+                                pair_cap=None,
+                                chunk: int = 128,
+                                normalize_depth: bool = True) -> dict:
+    """uv_tex_render twin sharded by depth-rank Gaussian slices.
+
+    The per-intersection texture term is *linear in the blend weights*, so
+    each slice's full premultiplied output (texture term included, local
+    weights) folds with the same over operator as the plain channels — no
+    cross-chip M-list merge is needed, and each slice gets its own M slots
+    (effective per-pixel list depth n_chips * m >= the single-chip m).
+    Same bounded local-T_STOP divergence as gauss_sharded_render.
+    """
+    from texgs.kernels.uvtex_raster import rasterize_uvtex
+
+    cam = viewpoint_camera
+    n = xyz.shape[0]
+    n_chips = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    assert n % n_chips == 0, (
+        f"capacity {n} must divide the '{axis_name}' axis ({n_chips})")
+    s = n // n_chips
+
+    proj = proj_k.project_gaussians(
+        xyz, scaling, rotation, opacity, jnp.zeros_like(xyz),
+        cam.world_view, cam.full_proj, cam.camera_center,
+        cam.width, cam.height, cam.tanfovx, cam.tanfovy)
+    key = jnp.where(proj.radii > 0, proj.depths, jnp.inf)
+    order = jax.lax.stop_gradient(jnp.argsort(key))
+    mine = jax.lax.dynamic_slice_in_dim(order, idx * s, s)
+
+    if pair_cap is None:
+        pair_cap = max(4 * n, 1 << 14)
+    slice_cap = max(min(2 * pair_cap // n_chips, pair_cap), 1 << 12)
+
+    sl = lambda a: a[mine]
+    out = rasterize_uvtex(
+        jax.tree.map(sl, proj), sl(scaling), sl(rotation), sl(xyz),
+        sl(uvs), sl(grad_uvs), texture,
+        None if shs is None else sl(shs), active_sh_degree, cam,
+        jnp.zeros(3),  # bg deferred to the fold
+        pair_cap=slice_cap, chunk=chunk, m=m, normalize_depth=False,
+        filter_mode=filter_mode, backend=backend, tex_backend=tex_backend,
+        tex_miss_cap=tex_miss_cap)
+
+    chans = jnp.concatenate([out.image, out.depth, out.norm], axis=0)
+    trans = 1.0 - out.alpha
+    chans = _grad_scale(chans, 1.0 / n_chips)
+    trans = _grad_scale(trans, 1.0 / n_chips)
+    g_c = jax.lax.all_gather(chans, axis_name)
+    g_t = jax.lax.all_gather(trans, axis_name)
+    c_tot, t_tot = over_fold(g_c, g_t)
+
+    acc = 1.0 - t_tot
+    rgb = c_tot[0:3] + t_tot * bg_color[:, None, None]
+    dep = c_tot[3:4]
+    if normalize_depth:
+        dep = dep / jnp.maximum(acc, 1e-6)
+    nrm = c_tot[4:7]
+
+    radii_full = jnp.zeros((n,), proj.radii.dtype).at[mine].set(
+        proj.radii[mine])
+    radii_full = jax.lax.psum(radii_full, axis_name)
+
+    return {
+        "render": rgb,
+        "depth": dep,
+        "norm": nrm,
+        "alpha": acc,
+        "extra": None,
+        "radii": radii_full,
+        "visibility_filter": radii_full > 0,
+        "n_pairs": out.n_pairs,
+        "pair_overflow": out.overflowed,
+        "tex_miss": out.tex_miss,
     }

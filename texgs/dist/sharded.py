@@ -234,7 +234,7 @@ def stage1_sharded_step(mesh: Mesh, state, adam, stats, camera_batch: Camera,
                               "n_inv_points", "pair_cap", "m", "backend",
                               "tex_backend", "tex_miss_cap", "filter_mode",
                               "uv_net_cfg", "inv_uv_net_cfg", "data_axis",
-                              "tile_axis"))
+                              "tile_axis", "shard_mode"))
 def stage3_sharded_step(mesh: Mesh, model_fns, gauss_params, uv_params,
                         tex_params, adam_g, adam_uv, adam_tex,
                         camera_batch: Camera, key, lrs, lambdas,
@@ -243,7 +243,8 @@ def stage3_sharded_step(mesh: Mesh, model_fns, gauss_params, uv_params,
                         pair_cap=None, m: int = 32, backend: str = "scan",
                         tex_backend: str = "xla", tex_miss_cap: int = 4096,
                         filter_mode: str = "bilinear",
-                        data_axis: str = "data", tile_axis: str = "tile"):
+                        data_axis: str = "data", tile_axis: str = "tile",
+                        shard_mode: str = "tile"):
     """Sharded twin of ``TextureGaussian3D._train_step`` (same returns).
 
     model_fns: (activated_fn, uvs_and_jac_fn) — the model's `_activated`
@@ -251,7 +252,12 @@ def stage3_sharded_step(mesh: Mesh, model_fns, gauss_params, uv_params,
     so this module trains exactly the model's parameterization.
     The texture cubemap gradient is partial per band and psum'd over the
     tile axis (SURVEY.md §5's texture-gradient reduction).
+
+    shard_mode: 'tile' = image row bands; 'gauss' = depth-rank Gaussian
+    slices folded with the over operator (dist.gauss_sharded — the texture
+    term folds too, being linear in the blend weights).
     """
+    assert shard_mode in ("tile", "gauss")
     activated_fn, uvs_and_jac_fn = model_fns
     use_no_sh = flags[7]
     apply_g, apply_uv, apply_tex = apply_flags
@@ -272,6 +278,18 @@ def stage3_sharded_step(mesh: Mesh, model_fns, gauss_params, uv_params,
         row0 = band * band_h
 
         def do_render(act, uvs, jac, texture, deg):
+            if shard_mode == "gauss":
+                from texgs.dist.gauss_sharded import \
+                    gauss_sharded_uv_tex_render
+                return gauss_sharded_uv_tex_render(
+                    cam, xyz=act["xyz"], opacity=act["opacity"],
+                    scaling=act["scaling"], rotation=act["rotation"],
+                    uvs=uvs, grad_uvs=jac, texture=texture,
+                    shs=act["shs"], active_sh_degree=deg,
+                    bg_color=lambdas["bg"], axis_name=tile_axis, m=m,
+                    filter_mode=filter_mode, backend=backend,
+                    tex_backend=tex_backend, tex_miss_cap=tex_miss_cap,
+                    pair_cap=pair_cap)
             return uv_tex_render(
                 cam, xyz=act["xyz"], opacity=act["opacity"],
                 scaling=act["scaling"], rotation=act["rotation"],
@@ -292,7 +310,10 @@ def stage3_sharded_step(mesh: Mesh, model_fns, gauss_params, uv_params,
             if use_no_sh:
                 out_ns = do_render(act, uvs, jac, tp_["texture"], 0)
                 bands = jnp.concatenate([bands, out_ns["render"]], axis=0)
-            full = _gather_bands(bands, tile_axis, height)
+            if shard_mode == "gauss":
+                full = bands  # already full-image, fold done in the render
+            else:
+                full = _gather_bands(bands, tile_axis, height)
             image_ns = full[8:11] if use_no_sh else None
             loss, stats = stage3_loss_terms(
                 full[0:3], full[3:4], full[4:7], full[7:8], image_ns, cam,
