@@ -554,3 +554,31 @@ def test_stage3_sharded_gauss_mode_matches_single_step(s3_model):
     _tree_allclose(tp1, tp2, atol=3e-4)
     _tree_allclose(gp1, gp2, atol=3e-4)
     _tree_allclose(up1, up2, atol=3e-4)
+
+
+def test_stage1_sharded_tile_plus_gauss_3d_mesh():
+    """3-axis decomposition (data, tile, gauss): each chip rasterizes one
+    row band of one depth slice; fold over gauss, gather over tile."""
+    state, cams = _scene(views=1)
+    adam, stats, lrs, lambdas = _s1_args(state)
+    adam = optim.AdamState(mu=adam.mu,
+                           nu=jax.tree.map(lambda x: x + 1e-6, adam.nu),
+                           count=adam.count)
+    model = Gaussian3D.__new__(Gaussian3D)
+    s1, a1, st1, loss1, d1 = Gaussian3D._train_step(
+        model, state, adam, stats, cams[0], lrs, lambdas,
+        jnp.asarray(True), S1_FLAGS, 1, None, "scan")
+
+    mesh = make_mesh(8, axis_names=("data", "tile", "gauss"),
+                     shape=(1, 2, 4))
+    s2, a2, st2, loss2, d2 = stage1_sharded_step(
+        mesh, state, adam, stats, stack_cameras(cams[:1]), lrs, lambdas,
+        jnp.asarray(True), S1_FLAGS, 1, backend="scan",
+        shard_mode="tile+gauss")
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    _tree_allclose(s1.params_dict(), s2.params_dict(), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(st2.xyz_gradient_accum),
+                               np.asarray(st1.xyz_gradient_accum),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(st2.denom), np.asarray(st1.denom))

@@ -88,10 +88,18 @@ def gauss_sharded_render(viewpoint_camera: Camera, *,
                          backend: str = "scan",
                          pair_cap: Optional[int] = None,
                          chunk: int = 128,
-                         normalize_depth: bool = True) -> dict:
+                         normalize_depth: bool = True,
+                         row_offset=None,
+                         band_height: Optional[int] = None) -> dict:
     """render() twin that shards rasterization by depth-rank Gaussian
     slices across ``axis_name``; call inside shard_map with all Gaussian
     inputs replicated.  Returns the full-image output dict on every chip.
+
+    row_offset/band_height compose with tile-band sharding on another
+    mesh axis: each chip rasterizes one row band of one depth slice, the
+    gauss-axis fold here returns the folded *band*, and the caller
+    gathers bands over its tile axis as usual — the 3D
+    (data, tile, gauss) decomposition.
     """
     cam = viewpoint_camera
     n = xyz.shape[0]
@@ -112,6 +120,15 @@ def gauss_sharded_render(viewpoint_camera: Camera, *,
         cam.width, cam.height, cam.tanfovx, cam.tanfovy,
         ndc_offset=ndc_offset)
 
+    height = cam.height
+    if row_offset is not None:
+        assert band_height is not None
+        shift = jnp.stack([jnp.zeros_like(jnp.asarray(row_offset,
+                                                      jnp.float32)),
+                           jnp.asarray(row_offset, jnp.float32)])
+        proj = proj._replace(means2d=proj.means2d - shift[None, :])
+        height = band_height
+
     # contiguous depth-rank slice (culled Gaussians rank last: they emit
     # no pairs wherever they land)
     key = jnp.where(proj.radii > 0, proj.depths, jnp.inf)
@@ -131,17 +148,17 @@ def gauss_sharded_render(viewpoint_camera: Camera, *,
                        1 << 12) // chunk) * chunk
 
     pairs = build_pairs(sliced.means2d, sliced.depths, sliced.radii,
-                        cam.height, cam.width, slice_cap, chunk)
-    attrs = build_pair_attrs(sliced, pairs, cam.height, cam.width, None)
+                        height, cam.width, slice_cap, chunk)
+    attrs = build_pair_attrs(sliced, pairs, height, cam.width, None)
     if backend == "pallas":
         from texgs.kernels.pallas_raster import rasterize_pallas
-        tiles_out, t_final = rasterize_pallas(attrs, pairs, cam.height,
+        tiles_out, t_final = rasterize_pallas(attrs, pairs, height,
                                               cam.width, chunk)
     else:
-        tiles_out, t_final = rasterize_scan(attrs, pairs, cam.height,
+        tiles_out, t_final = rasterize_scan(attrs, pairs, height,
                                             cam.width, chunk)
     # premultiplied slice images: bg deferred, depth left unnormalized
-    part = assemble_image(tiles_out, t_final, cam.height, cam.width,
+    part = assemble_image(tiles_out, t_final, height, cam.width,
                           jnp.zeros(3, attrs.dtype), 0,
                           normalize_depth=False)
     chans = jnp.concatenate([part.image, part.depth, part.norm], axis=0)

@@ -105,17 +105,22 @@ def stage1_sharded_step(mesh: Mesh, state, adam, stats, camera_batch: Camera,
     to a batch: per-Gaussian |ndc grad| / visibility summed over the batch
     cameras, max_radii2d maxed over them.
 
-    shard_mode selects how the second mesh axis splits the render work:
+    shard_mode selects how the non-data mesh axes split the render work:
     'tile' = horizontal image bands gathered to the full image (the SP
     analogue); 'gauss' = depth-rank Gaussian slices folded with the over
-    operator (texgs.dist.gauss_sharded — the ring-attention analogue).
-    Both compute the identical full-image production loss replicated.
+    operator (texgs.dist.gauss_sharded — the ring-attention analogue);
+    'tile+gauss' = both at once on a 3-axis (data, tile, gauss) mesh:
+    each chip rasterizes one row band of one depth slice (gauss-fold the
+    band, then gather bands).  All modes compute the identical full-image
+    production loss replicated.
     """
-    assert shard_mode in ("tile", "gauss")
+    assert shard_mode in ("tile", "gauss", "tile+gauss")
+    gauss_axis = "gauss" if shard_mode == "tile+gauss" else None
     track_stats = flags[6]
     ref_cam = index_camera(camera_batch, 0)
     height, width = ref_cam.height, ref_cam.width
     n_bands = mesh.shape[tile_axis]
+    n_repl = n_bands * (mesh.shape[gauss_axis] if gauss_axis else 1)
     band_h = band_height(height, n_bands)
     capacity = state.capacity
 
@@ -147,6 +152,20 @@ def stage1_sharded_step(mesh: Mesh, state, adam, stats, camera_batch: Camera,
                     pair_cap=pair_cap)
                 full = jnp.concatenate([out["render"], out["depth"],
                                         out["norm"], out["alpha"]], axis=0)
+            elif shard_mode == "tile+gauss":
+                from texgs.dist.gauss_sharded import gauss_sharded_render
+                out = gauss_sharded_render(
+                    cam, xyz=st.xyz, opacity=st.get_opacity(),
+                    scaling=st.get_scaling(), rotation=st.get_rotation(),
+                    features=st.get_features(),
+                    active_sh_degree=active_sh_degree,
+                    bg_color=lambdas["bg"], ndc_offset=ndc_zero,
+                    axis_name=gauss_axis, backend=backend,
+                    pair_cap=pair_cap,
+                    row_offset=row0, band_height=band_h)
+                bands = jnp.concatenate([out["render"], out["depth"],
+                                         out["norm"], out["alpha"]], axis=0)
+                full = _gather_bands(bands, tile_axis, height)
             else:
                 out = render(cam, xyz=st.xyz, opacity=st.get_opacity(),
                              scaling=st.get_scaling(),
@@ -162,7 +181,7 @@ def stage1_sharded_step(mesh: Mesh, state, adam, stats, camera_batch: Camera,
             loss, stats_d = stage1_loss_terms(
                 full[0:3], full[3:4], full[4:7], full[7:8], cam,
                 gt_image, gt_alpha,
-                _grad_scale(st.get_opacity(), 1.0 / n_bands),
+                _grad_scale(st.get_opacity(), 1.0 / n_repl),
                 flags, lambdas)
             return loss, (stats_d, out["radii"],
                           out["n_pairs"], out["pair_overflow"])
@@ -173,14 +192,19 @@ def stage1_sharded_step(mesh: Mesh, state, adam, stats, camera_batch: Camera,
                 params, ndc_zero)
         param_grads, vs_grad = grads
 
-        # full gradients: band contributions summed, camera-mean over data
+        # full gradients: band/slice contributions summed, camera-mean
+        # over data
         param_grads = jax.lax.psum(param_grads, tile_axis)
+        if gauss_axis:
+            param_grads = jax.lax.psum(param_grads, gauss_axis)
         param_grads = jax.lax.pmean(param_grads, data_axis)
         loss = jax.lax.pmean(loss, data_axis)
         stats_d = jax.lax.pmean(stats_d, data_axis)
 
         # densify stats: per-camera ndc grad = tile-psum; batch = data-sum
         vs_grad = jax.lax.psum(vs_grad, tile_axis)
+        if gauss_axis:
+            vs_grad = jax.lax.psum(vs_grad, gauss_axis)
         gnorm = jnp.linalg.norm(vs_grad[:, :2], axis=-1, keepdims=True)
         visible = radii > 0
         d_accum = jax.lax.psum(jnp.where(visible[:, None], gnorm, 0.0),
@@ -192,11 +216,15 @@ def stage1_sharded_step(mesh: Mesh, state, adam, stats, camera_batch: Camera,
 
         if n_pairs is not None:
             n_pairs = jax.lax.psum(n_pairs, tile_axis)
+            if gauss_axis:
+                n_pairs = jax.lax.psum(n_pairs, gauss_axis)
             n_pairs = jax.lax.pmax(n_pairs, data_axis)
-            # overflow is device-varying across BOTH axes (a single band /
-            # depth slice can overflow alone); reduce over both or a
+            # overflow is device-varying across EVERY axis (a single band /
+            # depth slice can overflow alone); reduce over all or a
             # non-zero chip's True is silently dropped by out_specs P()
             overflow = jax.lax.pmax(overflow, tile_axis)
+            if gauss_axis:
+                overflow = jax.lax.pmax(overflow, gauss_axis)
             overflow = jax.lax.pmax(overflow, data_axis)
             stats_d = dict(stats_d, n_pairs=n_pairs, pair_overflow=overflow)
         return param_grads, loss, stats_d, d_accum, d_denom, r_max
