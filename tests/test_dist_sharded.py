@@ -582,3 +582,31 @@ def test_stage1_sharded_tile_plus_gauss_3d_mesh():
                                np.asarray(st1.xyz_gradient_accum),
                                atol=3e-4)
     np.testing.assert_allclose(np.asarray(st2.denom), np.asarray(st1.denom))
+
+
+def test_stage3_sharded_tile_plus_gauss_3d_mesh(s3_model):
+    """Stage-3 on the 3-axis mesh: each chip renders one row band of one
+    depth slice (texture term included in the fold)."""
+    model, cams = s3_model
+    adam_g, adam_uv, adam_tex, lrs, lambdas = _s3_args(model)
+    key = jax.random.PRNGKey(7)
+    single = TextureGaussian3D._train_step(
+        model, model.gauss_params, model.uv_params, model.tex_params,
+        adam_g, adam_uv, adam_tex, cams[0], key, lrs, lambdas, S3_APPLY,
+        S3_FLAGS, 1, 64, None)
+
+    mesh = make_mesh(8, axis_names=("data", "tile", "gauss"),
+                     shape=(1, 2, 4))
+    sharded = stage3_sharded_step(
+        mesh, (model._activated, model._uvs_and_jac), model.gauss_params,
+        model.uv_params, model.tex_params, adam_g, adam_uv, adam_tex,
+        stack_cameras(cams[:1]), key, lrs, lambdas, S3_APPLY, S3_FLAGS,
+        1, 64, model.cfg.uv_net_cfg, model.cfg.inv_uv_net_cfg,
+        backend="scan", tex_backend="xla", m=8, shard_mode="tile+gauss")
+
+    (gp1, up1, tp1, _, _, _, loss1, _) = single
+    (gp2, up2, tp2, _, _, _, loss2, _) = sharded
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    _tree_allclose(tp1, tp2, atol=3e-4)
+    _tree_allclose(gp1, gp2, atol=3e-4)
+    _tree_allclose(up1, up2, atol=3e-4)

@@ -219,7 +219,9 @@ def gauss_sharded_uv_tex_render(viewpoint_camera: Camera, *,
                                 filter_mode: str = "bilinear",
                                 pair_cap=None,
                                 chunk: int = 128,
-                                normalize_depth: bool = True) -> dict:
+                                normalize_depth: bool = True,
+                                row_offset=None,
+                                band_height: Optional[int] = None) -> dict:
     """uv_tex_render twin sharded by depth-rank Gaussian slices.
 
     The per-intersection texture term is *linear in the blend weights*, so
@@ -259,7 +261,8 @@ def gauss_sharded_uv_tex_render(viewpoint_camera: Camera, *,
         jnp.zeros(3),  # bg deferred to the fold
         pair_cap=slice_cap, chunk=chunk, m=m, normalize_depth=False,
         filter_mode=filter_mode, backend=backend, tex_backend=tex_backend,
-        tex_miss_cap=tex_miss_cap)
+        tex_miss_cap=tex_miss_cap,
+        row_offset=row_offset, band_height=band_height)
 
     chans = jnp.concatenate([out.image, out.depth, out.norm], axis=0)
     trans = 1.0 - out.alpha

@@ -283,15 +283,18 @@ def stage3_sharded_step(mesh: Mesh, model_fns, gauss_params, uv_params,
 
     shard_mode: 'tile' = image row bands; 'gauss' = depth-rank Gaussian
     slices folded with the over operator (dist.gauss_sharded — the texture
-    term folds too, being linear in the blend weights).
+    term folds too, being linear in the blend weights); 'tile+gauss' =
+    both on a 3-axis (data, tile, gauss) mesh.
     """
-    assert shard_mode in ("tile", "gauss")
+    assert shard_mode in ("tile", "gauss", "tile+gauss")
+    gauss_axis = "gauss" if shard_mode == "tile+gauss" else None
     activated_fn, uvs_and_jac_fn = model_fns
     use_no_sh = flags[7]
     apply_g, apply_uv, apply_tex = apply_flags
     ref_cam = index_camera(camera_batch, 0)
     height = ref_cam.height
     n_bands = mesh.shape[tile_axis]
+    n_repl = n_bands * (mesh.shape[gauss_axis] if gauss_axis else 1)
     band_h = band_height(height, n_bands)
 
     @functools.partial(
@@ -306,18 +309,21 @@ def stage3_sharded_step(mesh: Mesh, model_fns, gauss_params, uv_params,
         row0 = band * band_h
 
         def do_render(act, uvs, jac, texture, deg):
-            if shard_mode == "gauss":
+            if shard_mode in ("gauss", "tile+gauss"):
                 from texgs.dist.gauss_sharded import \
                     gauss_sharded_uv_tex_render
+                band_kw = ({"row_offset": row0, "band_height": band_h}
+                           if shard_mode == "tile+gauss" else {})
                 return gauss_sharded_uv_tex_render(
                     cam, xyz=act["xyz"], opacity=act["opacity"],
                     scaling=act["scaling"], rotation=act["rotation"],
                     uvs=uvs, grad_uvs=jac, texture=texture,
                     shs=act["shs"], active_sh_degree=deg,
-                    bg_color=lambdas["bg"], axis_name=tile_axis, m=m,
+                    bg_color=lambdas["bg"],
+                    axis_name=gauss_axis or tile_axis, m=m,
                     filter_mode=filter_mode, backend=backend,
                     tex_backend=tex_backend, tex_miss_cap=tex_miss_cap,
-                    pair_cap=pair_cap)
+                    pair_cap=pair_cap, **band_kw)
             return uv_tex_render(
                 cam, xyz=act["xyz"], opacity=act["opacity"],
                 scaling=act["scaling"], rotation=act["rotation"],
@@ -346,21 +352,30 @@ def stage3_sharded_step(mesh: Mesh, model_fns, gauss_params, uv_params,
             loss, stats = stage3_loss_terms(
                 full[0:3], full[3:4], full[4:7], full[7:8], image_ns, cam,
                 gt_image, gt_alpha,
-                _grad_scale(act["opacity"], 1.0 / n_bands),
-                _grad_scale(up_, 1.0 / n_bands), key_,
+                _grad_scale(act["opacity"], 1.0 / n_repl),
+                _grad_scale(up_, 1.0 / n_repl), key_,
                 uv_net_cfg, inv_uv_net_cfg, n_inv_points, flags, lambdas)
             if out["n_pairs"] is not None:
-                stats["n_pairs"] = jax.lax.psum(
+                n_pairs = jax.lax.psum(
                     jax.lax.stop_gradient(out["n_pairs"]), tile_axis)
-                stats["pair_overflow"] = jax.lax.pmax(out["pair_overflow"],
-                                                      tile_axis)
+                overflow = jax.lax.pmax(out["pair_overflow"], tile_axis)
+                if gauss_axis:
+                    n_pairs = jax.lax.psum(n_pairs, gauss_axis)
+                    overflow = jax.lax.pmax(overflow, gauss_axis)
+                stats["n_pairs"] = n_pairs
+                stats["pair_overflow"] = overflow
             if out.get("tex_miss") is not None:
-                stats["tex_miss"] = jax.lax.psum(out["tex_miss"], tile_axis)
+                miss = jax.lax.psum(out["tex_miss"], tile_axis)
+                if gauss_axis:
+                    miss = jax.lax.psum(miss, gauss_axis)
+                stats["tex_miss"] = miss
             return loss, stats
 
         (loss, stats), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True)(gp, up, tp)
         grads = jax.lax.psum(grads, tile_axis)    # incl. texture cubemap
+        if gauss_axis:
+            grads = jax.lax.psum(grads, gauss_axis)
         grads = jax.lax.pmean(grads, data_axis)
         loss = jax.lax.pmean(loss, data_axis)
         stats = jax.lax.pmean(stats, data_axis)
