@@ -221,3 +221,70 @@ def test_uvtex_fused_grads_match_scan():
         denom = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / denom, a / denom, atol=2e-3,
                                    err_msg=f"grad mismatch: {name}")
+
+
+def _run_ns(state, cam, uvs, jac, shs, tex, backend, deg=2,
+            with_no_sh=False):
+    proj = proj_k.project_gaussians(
+        state.xyz, state.get_scaling(), state.get_rotation(),
+        state.get_opacity(), jnp.zeros_like(state.xyz),
+        cam.world_view, cam.full_proj, cam.camera_center,
+        cam.width, cam.height, cam.tanfovx, cam.tanfovy)
+    return rasterize_uvtex(proj, state.get_scaling(), state.get_rotation(),
+                           state.xyz, uvs, jac, tex, shs, deg, cam,
+                           0.3 * jnp.ones(3), backend=backend, chunk=64,
+                           m=96, tex_backend="xla", with_no_sh=with_no_sh)
+
+
+def test_uvtex_with_no_sh_matches_second_render():
+    """with_no_sh recovers the texture-only image from the SAME blend pass;
+    it must equal an explicit second rasterization at active_sh_degree=0
+    (the reference's no-SH photometric pass, texture_gaussian3d.py:375-389)
+    on every backend, with a non-zero bg color in play."""
+    state, cam, uvs, jac, shs, tex = _scene(n=256, size=32)
+    for backend in ("reference", "scan"):
+        out = _run_ns(state, cam, uvs, jac, shs, tex, backend,
+                      with_no_sh=True)
+        ref_ns = _run_ns(state, cam, uvs, jac, shs, tex, backend, deg=0)
+        assert out.image_no_sh is not None
+        assert_close_mostly(out.image_no_sh, ref_ns.image, atol=3e-5,
+                            name=f"no_sh[{backend}]")
+        # the full-SH image must be unchanged by the extra channels
+        base = _run_ns(state, cam, uvs, jac, shs, tex, backend)
+        assert_close_mostly(out.image, base.image, atol=3e-6,
+                            name=f"image[{backend}]")
+        # degree 0: no_sh render IS the render
+        out0 = _run_ns(state, cam, uvs, jac, shs, tex, backend, deg=0,
+                       with_no_sh=True)
+        np.testing.assert_allclose(np.asarray(out0.image_no_sh),
+                                   np.asarray(out0.image))
+
+
+def test_uvtex_with_no_sh_grads_match_second_render():
+    """Gradients of a loss on the one-pass no-SH image must equal the
+    two-pass formulation's (linearity of the blend in the SH term)."""
+    state, cam, uvs, jac, shs, tex = _scene(n=192, size=32)
+    target = jnp.zeros((3, cam.height, cam.width))
+
+    def loss_one_pass(xyz, shs_, tex_):
+        st = state.replace(xyz=xyz)
+        out = _run_ns(st, cam, uvs, jac, shs_, tex_, "scan",
+                      with_no_sh=True)
+        return (jnp.abs(out.image - target).mean()
+                + 0.5 * jnp.abs(out.image_no_sh - target).mean())
+
+    def loss_two_pass(xyz, shs_, tex_):
+        st = state.replace(xyz=xyz)
+        out = _run_ns(st, cam, uvs, jac, shs_, tex_, "scan")
+        out_ns = _run_ns(st, cam, uvs, jac, shs_, tex_, "scan", deg=0)
+        return (jnp.abs(out.image - target).mean()
+                + 0.5 * jnp.abs(out_ns.image - target).mean())
+
+    args = (state.xyz, shs, tex)
+    g1 = jax.grad(loss_one_pass, argnums=(0, 1, 2))(*args)
+    g2 = jax.grad(loss_two_pass, argnums=(0, 1, 2))(*args)
+    for a, b, name in zip(g2, g1, ["xyz", "shs", "texture"]):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / denom, a / denom, atol=2e-4,
+                                   err_msg=f"grad mismatch: {name}")

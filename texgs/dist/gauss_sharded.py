@@ -221,7 +221,8 @@ def gauss_sharded_uv_tex_render(viewpoint_camera: Camera, *,
                                 chunk: int = 128,
                                 normalize_depth: bool = True,
                                 row_offset=None,
-                                band_height: Optional[int] = None) -> dict:
+                                band_height: Optional[int] = None,
+                                with_no_sh: bool = False) -> dict:
     """uv_tex_render twin sharded by depth-rank Gaussian slices.
 
     The per-intersection texture term is *linear in the blend weights*, so
@@ -262,9 +263,15 @@ def gauss_sharded_uv_tex_render(viewpoint_camera: Camera, *,
         pair_cap=slice_cap, chunk=chunk, m=m, normalize_depth=False,
         filter_mode=filter_mode, backend=backend, tex_backend=tex_backend,
         tex_miss_cap=tex_miss_cap,
-        row_offset=row_offset, band_height=band_height)
+        row_offset=row_offset, band_height=band_height,
+        with_no_sh=with_no_sh)
 
-    chans = jnp.concatenate([out.image, out.depth, out.norm], axis=0)
+    chan_list = [out.image, out.depth, out.norm]
+    if with_no_sh:
+        # premultiplied (bg deferred) and linear in the slice's weights, so
+        # the no-SH image folds with the same over operator
+        chan_list.append(out.image_no_sh)
+    chans = jnp.concatenate(chan_list, axis=0)
     trans = 1.0 - out.alpha
     chans = _grad_scale(chans, 1.0 / n_chips)
     trans = _grad_scale(trans, 1.0 / n_chips)
@@ -278,6 +285,8 @@ def gauss_sharded_uv_tex_render(viewpoint_camera: Camera, *,
     if normalize_depth:
         dep = dep / jnp.maximum(acc, 1e-6)
     nrm = c_tot[4:7]
+    rgb_ns = (c_tot[7:10] + t_tot * bg_color[:, None, None]
+              if with_no_sh else None)
 
     radii_full = jnp.zeros((n,), proj.radii.dtype).at[mine].set(
         proj.radii[mine])
@@ -285,6 +294,7 @@ def gauss_sharded_uv_tex_render(viewpoint_camera: Camera, *,
 
     return {
         "render": rgb,
+        "render_no_sh": rgb_ns,
         "depth": dep,
         "norm": nrm,
         "alpha": acc,

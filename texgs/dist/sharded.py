@@ -323,7 +323,7 @@ def stage3_sharded_step(mesh: Mesh, model_fns, gauss_params, uv_params,
                     axis_name=gauss_axis or tile_axis, m=m,
                     filter_mode=filter_mode, backend=backend,
                     tex_backend=tex_backend, tex_miss_cap=tex_miss_cap,
-                    pair_cap=pair_cap, **band_kw)
+                    pair_cap=pair_cap, with_no_sh=use_no_sh, **band_kw)
             return uv_tex_render(
                 cam, xyz=act["xyz"], opacity=act["opacity"],
                 scaling=act["scaling"], rotation=act["rotation"],
@@ -332,7 +332,8 @@ def stage3_sharded_step(mesh: Mesh, model_fns, gauss_params, uv_params,
                 filter_mode=filter_mode, backend=backend,
                 tex_backend=tex_backend, tex_miss_cap=tex_miss_cap,
                 pair_cap=pair_cap,
-                row_offset=row0, band_height=band_h)
+                row_offset=row0, band_height=band_h,
+                with_no_sh=use_no_sh)
 
         def loss_fn(gp_, up_, tp_):
             act = activated_fn(gp_)
@@ -342,8 +343,9 @@ def stage3_sharded_step(mesh: Mesh, model_fns, gauss_params, uv_params,
             bands = jnp.concatenate([out["render"], out["depth"],
                                      out["norm"], out["alpha"]], axis=0)
             if use_no_sh:
-                out_ns = do_render(act, uvs, jac, tp_["texture"], 0)
-                bands = jnp.concatenate([bands, out_ns["render"]], axis=0)
+                # same-pass no-SH image (with_no_sh) — no second render
+                bands = jnp.concatenate([bands, out["render_no_sh"]],
+                                        axis=0)
             if shard_mode == "gauss":
                 full = bands  # already full-image, fold done in the render
             else:

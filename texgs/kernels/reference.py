@@ -51,6 +51,11 @@ class RasterOutput(NamedTuple):
     # windowed kernel could not serve this frame (frame fell back to the
     # exact XLA tap path when > 0).
     tex_miss: Optional[jnp.ndarray] = None    # () int32
+    # uvtex `with_no_sh=True` only: the texture-only image (what a second
+    # rasterization at active_sh_degree=0 would produce), recovered from the
+    # SAME blend pass: color = clamp(.5+SH_rest) + C0*tex is linear in the
+    # per-Gaussian term, so no_sh = image - blend(clamp(.5+SH_rest) - .5).
+    image_no_sh: Optional[jnp.ndarray] = None  # (3, H, W)
 
 
 def tile_rect(means2d: jnp.ndarray, radii: jnp.ndarray, width: int, height: int):

@@ -348,7 +348,8 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
                     tex_backend: str = "auto",
                     tex_miss_cap: int = 4096,
                     row_offset=None,
-                    band_height: Optional[int] = None) -> RasterOutput:
+                    band_height: Optional[int] = None,
+                    with_no_sh: bool = False) -> RasterOutput:
     """Full UV-texture rasterization.
 
     proj must carry zero colors (the base SH residual is injected here).
@@ -362,10 +363,35 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
     correction, and any remainder is *reported* via RasterOutput.tex_miss
     for a host-side retry — the frame is incomplete when tex_miss > 0);
     'auto' = textile whenever the Pallas backend is active.
+    with_no_sh: also return ``image_no_sh`` — the texture-only image the
+    reference obtains by a SECOND full rasterization at active_sh_degree=0
+    (/root/reference/models/texture_gaussian3d.py:375-389).  The per-
+    intersection color ``clamp(.5+SH_rest) + C0*tex`` is linear in the
+    per-Gaussian SH term, so one blend pass suffices: append
+    ``clamp(.5+SH_rest) - .5`` as 3 extra blend channels and subtract them
+    from the composited image.  Exact (same weights, same M-lists), and
+    saves the entire second projection/binning/M-list/texture pass.
     """
     base_colors = residual_sh_colors(shs, xyz, camera.camera_center,
                                     active_sh_degree)
     proj = proj._replace(colors=base_colors)
+
+    n_user_extra = 0 if extra_attrs is None else extra_attrs.shape[1]
+    append_ns = with_no_sh and shs is not None and active_sh_degree > 0
+    if append_ns:
+        sh_part = base_colors - 0.5
+        extra_attrs = (sh_part if extra_attrs is None
+                       else jnp.concatenate([extra_attrs, sh_part], axis=1))
+
+    def finish(out: RasterOutput) -> RasterOutput:
+        if not with_no_sh:
+            return out
+        if not append_ns:
+            # degree 0 (or no residual SH): the no-SH render IS the render
+            return out._replace(image_no_sh=out.image)
+        image_ns = out.image - out.extra[n_user_extra:]
+        user_extra = out.extra[:n_user_extra] if n_user_extra else None
+        return out._replace(image_no_sh=image_ns, extra=user_extra)
     tables = build_uvtex_tables(xyz, scaling, rotation, uvs, grad_uvs,
                                 camera.camera_center)
 
@@ -378,9 +404,9 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
                    else ("reference" if xyz.shape[0] <= 4096 else "scan"))
     if backend == "reference":
         assert row_offset is None, "band rendering needs a tiled backend"
-        return rasterize_uvtex_reference(proj, tables, texture, camera, bg,
-                                         extra_attrs=extra_attrs,
-                                         normalize_depth=normalize_depth)
+        return finish(rasterize_uvtex_reference(
+            proj, tables, texture, camera, bg, extra_attrs=extra_attrs,
+            normalize_depth=normalize_depth))
 
     height, width = camera.height, camera.width
     if row_offset is not None:
@@ -446,7 +472,9 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
     else:
         tex_img = mlist_tex_term(mlist, texture, height, width, filter_mode)
 
-    return RasterOutput(image=base.image + tex_img, depth=base.depth,
-                        norm=base.norm, alpha=base.alpha, extra=base.extra,
-                        n_pairs=pairs.n_pairs, overflowed=pairs.overflowed,
-                        tex_miss=tex_miss)
+    return finish(RasterOutput(image=base.image + tex_img, depth=base.depth,
+                               norm=base.norm, alpha=base.alpha,
+                               extra=base.extra,
+                               n_pairs=pairs.n_pairs,
+                               overflowed=pairs.overflowed,
+                               tex_miss=tex_miss))

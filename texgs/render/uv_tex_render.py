@@ -38,7 +38,8 @@ def uv_tex_render(viewpoint_camera: Camera, *,
                   tex_miss_cap: int = 4096,
                   normalize_depth: bool = True,
                   row_offset=None,
-                  band_height: Optional[int] = None) -> dict:
+                  band_height: Optional[int] = None,
+                  with_no_sh: bool = False) -> dict:
     """Render one view with per-intersection UV-mapped cubemap appearance.
 
     uvs: (N, 3) unit sphere points (UV centers); grad_uvs: (N, 9) flattened
@@ -46,6 +47,11 @@ def uv_tex_render(viewpoint_camera: Camera, *,
     /root/reference/models/texture_gaussian3d.py:227); texture:
     (6, R, R, 3) cubemap in SH0 space; shs: (N, K-1, 3) view-dependent
     residual SH (degree >= 1 only — the DC term comes from the texture).
+
+    with_no_sh: also return ``render_no_sh``, the texture-only image
+    (== a second render at active_sh_degree=0) recovered from the same
+    blend pass — see rasterize_uvtex.  The reference rasterizes twice for
+    its no-SH photometric loss (texture_gaussian3d.py:375-389).
     """
     from texgs.kernels.uvtex_raster import rasterize_uvtex
 
@@ -66,10 +72,11 @@ def uv_tex_render(viewpoint_camera: Camera, *,
         normalize_depth=normalize_depth, backend=backend,
         tex_backend=tex_backend, tex_miss_cap=tex_miss_cap,
         row_offset=row_offset,
-        band_height=band_height)
+        band_height=band_height, with_no_sh=with_no_sh)
 
     return {
         "render": out.image,
+        "render_no_sh": out.image_no_sh,
         "depth": out.depth,
         "norm": out.norm,
         "alpha": out.alpha,

@@ -6,15 +6,17 @@ stage-1 Gaussians (trainable again) + stage-2 UV nets + a learnable
 SH (degrees >= 1; the DC term comes from the texture).
 
 Key idiomatic divergences (SURVEY.md §7):
-  * the per-iteration duv/dxyz Jacobian uses vmap(jacfwd) — three fused JVPs
-    of the tiny UV MLP — instead of the reference's
+  * the per-iteration duv/dxyz Jacobian uses one jax.linearize + three
+    basis-tangent pushes of the tiny UV MLP — instead of the reference's
     torch.autograd.functional.jacobian sum trick (:217-227);
   * the three Adams (gaussian / uv / tex, :100-143) are three functional
     optimizer states stepped inside one jitted train step, range-gating
     applied with traced booleans (no recompiles);
   * losses (:315-418): photometric L1+DSSIM, alpha/depth/norm/norm-reg/
-    smooth/opacity-reg, the no-SH photometric pass (a second rasterization
-    with active_sh_degree=0) and the inverse-consistency cycle loss.
+    smooth/opacity-reg, the no-SH photometric pass (recovered from the
+    SAME blend pass via with_no_sh — the reference rasterizes the frame a
+    second time with active_sh_degree=0) and the inverse-consistency
+    cycle loss.
 """
 
 from __future__ import annotations
@@ -228,14 +230,17 @@ class TextureGaussian3D:
             return apply_uv_net(nets_d["uv_net"], self.cfg.uv_net_cfg,
                                 p, nets_d["geo_emb"])
 
-        # duv/dxyz as 3 batched JVPs: the net is row-wise in xyz, so a
-        # basis tangent broadcast over all points yields column j of every
-        # point's Jacobian at once (== vmap(jacfwd(single-point f)), but
-        # the hash-grid/MLP stack runs batched — pallas-gather eligible)
+        # duv/dxyz as 3 batched tangent pushes through ONE linearization:
+        # the net is row-wise in xyz, so a basis tangent broadcast over all
+        # points yields column j of every point's Jacobian at once
+        # (== vmap(jacfwd(single-point f))).  jax.linearize shares the
+        # primal pass (hash-grid cell indexing, MLP activations) across the
+        # 3 columns instead of re-running it per jvp.
+        _, f_lin = jax.linearize(f, xyz_d)
         cols = []
         for j in range(3):
             t = jnp.zeros_like(xyz_d).at[:, j].set(1.0)
-            cols.append(jax.jvp(f, (xyz_d,), (t,))[1])   # (N, 3)
+            cols.append(f_lin(t))                         # (N, 3)
         jac = jnp.stack(cols, axis=-1)                    # (N, 3, 3)
         return uvs, jax.lax.stop_gradient(jac.reshape(-1, 9))
 
@@ -265,24 +270,24 @@ class TextureGaussian3D:
             act = self._activated(gp)
             uvs, jac = self._uvs_and_jac(up, gp["xyz"])
 
-            def do_render(deg):
-                return uv_tex_render(
-                    camera, xyz=act["xyz"], opacity=act["opacity"],
-                    scaling=act["scaling"], rotation=act["rotation"],
-                    uvs=uvs, grad_uvs=jac, texture=tp["texture"],
-                    shs=act["shs"], active_sh_degree=deg,
-                    bg_color=lambdas["bg"],
-                    m=int(self.cfg.get_or("uvtex_m", 32)),
-                    filter_mode=self.cfg.tex_cfg.get_or(
-                        "filter_mode", "bilinear"),
-                    backend=self.cfg.get_or("backend", "auto"),
-                    tex_backend=(tex_backend if tex_backend is not None
-                                 else self.cfg.get_or("tex_backend", "auto")),
-                    tex_miss_cap=tex_miss_cap,
-                    pair_cap=pair_cap)
-
-            out = do_render(active_sh_degree)
-            image_ns = do_render(0)["render"] if use_no_sh else None
+            # no-SH image from the SAME pass (with_no_sh) — the reference
+            # rasterizes a second time at degree 0 (texture_gaussian3d.py:
+            # 375-389); exactness argument in rasterize_uvtex
+            out = uv_tex_render(
+                camera, xyz=act["xyz"], opacity=act["opacity"],
+                scaling=act["scaling"], rotation=act["rotation"],
+                uvs=uvs, grad_uvs=jac, texture=tp["texture"],
+                shs=act["shs"], active_sh_degree=active_sh_degree,
+                bg_color=lambdas["bg"],
+                m=int(self.cfg.get_or("uvtex_m", 32)),
+                filter_mode=self.cfg.tex_cfg.get_or(
+                    "filter_mode", "bilinear"),
+                backend=self.cfg.get_or("backend", "auto"),
+                tex_backend=(tex_backend if tex_backend is not None
+                             else self.cfg.get_or("tex_backend", "auto")),
+                tex_miss_cap=tex_miss_cap,
+                pair_cap=pair_cap, with_no_sh=use_no_sh)
+            image_ns = out["render_no_sh"] if use_no_sh else None
             loss, stats = stage3_loss_terms(
                 out["render"], out["depth"], out["norm"], out["alpha"],
                 image_ns, camera, gt_image, gt_alpha, act["opacity"], up,
@@ -468,17 +473,9 @@ class TextureGaussian3D:
             m=int(self.cfg.get_or("uvtex_m", 32)),
             filter_mode=self.cfg.tex_cfg.get_or("filter_mode", "bilinear"),
             backend=self.cfg.get_or("backend", "auto"),
-            tex_backend=self.cfg.get_or("tex_backend", "auto"))
-        out_ns = uv_tex_render(
-            camera, xyz=act["xyz"], opacity=act["opacity"],
-            scaling=act["scaling"], rotation=act["rotation"], uvs=uvs,
-            grad_uvs=jac, texture=tex_params["texture"], shs=act["shs"],
-            active_sh_degree=0, bg_color=self._bg,
-            m=int(self.cfg.get_or("uvtex_m", 32)),
-            filter_mode=self.cfg.tex_cfg.get_or("filter_mode", "bilinear"),
-            backend=self.cfg.get_or("backend", "auto"),
-            tex_backend=self.cfg.get_or("tex_backend", "auto"))
-        return out, out_ns["render"]
+            tex_backend=self.cfg.get_or("tex_backend", "auto"),
+            with_no_sh=True)
+        return out, out["render_no_sh"]
 
     def visual_step(self, cur_iter: int, total_iter: int, viewpoint: Camera,
                     render_unused):
