@@ -43,8 +43,8 @@ from texgs.kernels.reference import (MIN_ALPHA, TILE, RasterOutput,
                                      blend_weights, gaussian_alpha, tile_rect)
 from texgs.kernels.tile_raster import (PIX, ROW_F0, ROW_LOGOP, N_QUAD,
                                        assemble_image, build_pair_attrs,
-                                       chunk_blend, rasterize_scan,
-                                       tile_basis)
+                                       chunk_blend, gather_rows,
+                                       rasterize_scan, tile_basis)
 from texgs.utils.sh import C0, eval_sh
 from texgs.utils.transforms import build_rotation
 
@@ -318,7 +318,7 @@ def build_uv_rows(tables: UVTexTables, pairs: PairList) -> jnp.ndarray:
     full = jnp.concatenate([
         tables.sv, tables.siginv, tables.base_uv,
         tables.jmat.reshape(-1, 9), jnp.zeros((n, 3))], axis=1)  # (N, 24)
-    return full[g]
+    return gather_rows(full, g)
 
 
 def mlist_tex_term(mlist: jnp.ndarray, texture: jnp.ndarray,
