@@ -22,6 +22,25 @@ jax.config.update("jax_enable_x64", False)
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (disk pipelines, subprocess "
+             "trainings) — the full suite takes >20 min on CPU")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default `pytest tests/ -q` stays under ~5 min; the slow tier
+    (`--runslow`) adds the 3-stage disk pipeline, the multi-process
+    bring-up, and the long driver trainings (README: two-tier suite)."""
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow — run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _shed_xla_executables():
     """XLA-CPU's LLVM aborts/segfaults compiling large programs after many

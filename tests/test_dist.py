@@ -64,6 +64,7 @@ def test_band_height_alignment():
     assert band_height(48, 8) % 16 == 0
 
 
+@pytest.mark.slow
 def test_dp_step_runs_and_reduces_loss():
     state, cams = _scene(views=8)
     mesh = make_mesh(8, axis_names=("data",))
@@ -81,6 +82,7 @@ def test_dp_step_runs_and_reduces_loss():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_dp_tile_2d_mesh_step():
     state, cams = _scene(views=2)
     mesh = make_mesh(8, axis_names=("data", "tile"), shape=(2, 4))

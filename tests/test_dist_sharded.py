@@ -138,6 +138,7 @@ def test_stage1_sharded_tile_only_matches_single_step():
                                np.asarray(st1.max_radii2d))
 
 
+@pytest.mark.slow
 def test_stage1_sharded_2d_mesh_means_camera_grads():
     state, cams = _scene(views=2)
     adam, stats, lrs, lambdas = _s1_args(state)
@@ -216,6 +217,7 @@ def _s3_args(model):
             seeded(model.tex_params), lrs, lambdas)
 
 
+@pytest.mark.slow
 def test_stage3_sharded_tile_only_matches_single_step(s3_model):
     model, cams = s3_model
     adam_g, adam_uv, adam_tex, lrs, lambdas = _s3_args(model)
@@ -265,6 +267,7 @@ def test_stage3_sharded_2d_mesh_runs_and_is_finite(s3_model):
 
 # ------------------------------------------- depth-ordered Gaussian sharding
 
+@pytest.mark.slow
 def test_gauss_sharded_render_matches_single_chip():
     """Over-operator cross-chip reduce (dist.gauss_sharded): 8 depth-rank
     slices folded front-to-back must reproduce the single-chip render and
@@ -448,7 +451,7 @@ def test_stage1_sharded_pallas_backend_composes():
         *args, backend="pallas")
     np.testing.assert_allclose(float(loss_pal), float(loss_scan), rtol=1e-5)
     _tree_allclose(s_pal.params_dict(), s_scan.params_dict(), atol=3e-4)
-    _tree_allclose((a_pal.mu, a_pal.nu), (a_scan.mu, a_scan.nu), atol=3e-5)
+    _tree_allclose((a_pal.mu, a_pal.nu), (a_scan.mu, a_scan.nu), atol=5e-5)
 
 
 def test_gauss_sharded_uvtex_matches_single_chip():

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from texgs.nets.hashgrid import apply_hashgrid, init_hashgrid
 
@@ -43,6 +44,7 @@ def test_pallas_hashgrid_grads_match_xla():
     assert np.abs(np.asarray(g_t_p)).max() > 0
 
 
+@pytest.mark.slow
 def test_pallas_hashgrid_jvp_matches_xla():
     """stage-3 computes duv/dxyz with jacfwd (3 JVPs) through the encoding
     — the JVP must flow through the trilinear weights exactly like the

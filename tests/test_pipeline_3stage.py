@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from texgs.config import load_config
 from texgs.train.driver import train
 from texgs.utils.logger import get_logger

@@ -25,12 +25,12 @@ def trained(tmp_path_factory):
     cfg.debug = False
     # keep the CPU test fast: one loss-flag configuration (single compile),
     # capacity stays in the first bucket (no growth retraces)
-    cfg.train_cfg.num_iterations = 150
-    cfg.train_cfg.visual_iters = [150]
-    cfg.train_cfg.ckpt_iters = [150]
+    cfg.train_cfg.num_iterations = 100
+    cfg.train_cfg.visual_iters = [100]
+    cfg.train_cfg.ckpt_iters = [100]
     cfg.train_cfg.densify_from_iter = 20
     cfg.train_cfg.densification_interval = 50
-    cfg.train_cfg.densify_until_iter = 120
+    cfg.train_cfg.densify_until_iter = 90
     cfg.loss_cfg.norm_range = [0, None]
     cfg.loss_cfg.norm_smooth_range = [0, None]
     cfg.loss_cfg.opacity_reg_range = [0, None]
@@ -60,9 +60,9 @@ def test_checkpoint_roundtrip(trained):
     from texgs.io import checkpoint as ckpt
     from texgs.train.gaussian3d import Gaussian3D
 
-    path = os.path.join(cfg.work_dir, "checkpoints", "150")
+    path = os.path.join(cfg.work_dir, "checkpoints", "100")
     sd, iteration = ckpt.load(path)
-    assert iteration == 150
+    assert iteration == 100
 
     log = get_logger("texgs-test")
     model2 = Gaussian3D(cfg.model_cfg, log, cfg.work_dir)
@@ -73,8 +73,8 @@ def test_checkpoint_roundtrip(trained):
                                np.asarray(model.state.xyz))
     # resumed model renders identically
     vp = scene.getTestCameras()[0]
-    out1 = model.visual_step(150, 150, vp, None)
-    out2 = model2.visual_step(150, 150, vp, None)
+    out1 = model.visual_step(100, 100, vp, None)
+    out2 = model2.visual_step(100, 100, vp, None)
     np.testing.assert_allclose(np.asarray(out1["image"]),
                                np.asarray(out2["image"]), atol=1e-6)
 
@@ -86,7 +86,7 @@ def test_pair_overflow_retry_in_train_step(trained):
     model.backend = "scan"      # the tiled path (auto picks dense on CPU)
     model._pair_caps.cap = 128  # far below the scene's true pair count
     vp = scene.getTrainCameras()[0]
-    loss, stats, _ = model.compute_loss(151, 152, vp, None, cfg.loss_cfg)
+    loss, stats, _ = model.compute_loss(101, 102, vp, None, cfg.loss_cfg)
     assert np.isfinite(float(loss))
     assert "pair_overflow" in stats
     assert not bool(stats["pair_overflow"])   # final accepted step is clean

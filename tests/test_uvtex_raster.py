@@ -8,6 +8,7 @@ enough that per-pixel contributor counts stay well under the M truncation.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from texgs.core.camera import Camera
 from texgs.core.state import init_from_pcd
@@ -118,6 +119,7 @@ def test_uvtex_scan_matches_oracle():
     assert_close_mostly(got.norm, ref.norm, atol=2e-5, name="norm")
 
 
+@pytest.mark.slow
 def test_uvtex_grads_match_oracle():
     state, cam, uvs, jac, shs, tex = _scene(n=256, size=32)
     target = jnp.zeros((3, cam.height, cam.width))

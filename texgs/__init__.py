@@ -21,3 +21,14 @@ Layers (bottom-up), mirroring the capability map in SURVEY.md §1-2:
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU MXU matmuls default to bf16 input precision (~3 decimal digits).
+# Splatting geometry cannot survive that: the (N, 4) @ full_proj point
+# transform and the EWA quad contraction feed a matrix INVERSE (conics)
+# and integer radii — measured on-chip at rel-err 1.14 on conics with
+# 4473/5000 radii flipped vs f32 (scratch/r3_bisect.py, round 3).  Default
+# every library matmul to full f32; hot kernels that can tolerate bf16
+# opt back in explicitly (pallas_raster.BLEND_BF16).
+_jax.config.update("jax_default_matmul_precision", "highest")

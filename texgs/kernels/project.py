@@ -18,7 +18,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from texgs.utils.transforms import build_covariance, build_rotation
+from texgs.utils.transforms import (build_covariance_packed,
+                                    rotation_channels, strip_symmetric)
 
 # Gaussians closer than this view-space depth are culled (3DGS convention).
 NEAR_CULL = 0.2
@@ -66,8 +67,16 @@ def compute_cov2d(xyz: jnp.ndarray, cov3d: jnp.ndarray,
                   focal_x: float, focal_y: float) -> jnp.ndarray:
     """EWA projection of the 3D covariance to screen space.
 
+    ``cov3d`` is packed (N, 6) upper triangle (xx, xy, xz, yy, yz, zz).
     Returns packed (N, 3) upper-triangular 2D covariance (a, b, c) with the
     +0.3 dilation applied.
+
+    Channel form throughout: the textbook J @ W @ Sigma @ (J @ W)^T as
+    batched (N, 2, 3)/(N, 3, 3) matmuls pads each intermediate to (8, 128)
+    tiles on TPU (~GBs of HBM traffic at N=1e5); here the two rows of
+    T = J @ W are expanded as T0 = a0 W0 + c0 W2, T1 = b1 W1 + c1 W2 with
+    W row constants, so cov2d needs only the six scalars Wi Sigma Wj^T —
+    one (N, 6) x (6, 6) contraction plus elementwise math.
     """
     # View-space centers; world_view is row-vector form so use p @ M.
     ones = jnp.ones_like(xyz[:, :1])
@@ -81,30 +90,53 @@ def compute_cov2d(xyz: jnp.ndarray, cov3d: jnp.ndarray,
 
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    # Jacobian of the perspective projection (2x3 per Gaussian).
-    J = jnp.stack([
-        jnp.stack([focal_x * inv_z, zeros, -focal_x * txtz * inv_z2], axis=-1),
-        jnp.stack([zeros, focal_y * inv_z, -focal_y * tytz * inv_z2], axis=-1),
-    ], axis=-2)  # (N, 2, 3)
+    # T = J @ W rows: T0 = a0*W0 + c0*W2, T1 = b1*W1 + c1*W2
+    a0 = focal_x * inv_z
+    c0 = -focal_x * txtz * inv_z2
+    b1 = focal_y * inv_z
+    c1 = -focal_y * tytz * inv_z2
 
+    # quad[i][j] = Wi Sigma Wj^T for (i,j) in [(0,0),(0,1),(0,2),(1,1),
+    # (1,2),(2,2)]: a (6, 6) constant contraction of the packed channels.
     W = world_view[:3, :3].T  # world->view rotation, column form
-    T = J @ W  # (N, 2, 3)
-    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
-    a = cov2d[:, 0, 0] + COV2D_DILATION
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + COV2D_DILATION
+    pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    rows = []
+    for (i, j) in pairs:
+        wi, wj = W[i], W[j]
+        rows.append(jnp.stack([
+            wi[0] * wj[0],
+            wi[0] * wj[1] + wi[1] * wj[0],
+            wi[0] * wj[2] + wi[2] * wj[0],
+            wi[1] * wj[1],
+            wi[1] * wj[2] + wi[2] * wj[1],
+            wi[2] * wj[2],
+        ]))
+    quad_mat = jnp.stack(rows, axis=1)          # (6 channels, 6 pairs)
+    q = cov3d @ quad_mat                        # (N, 6) scalars Wi S Wj
+    s00, s01, s02, s11, s12, s22 = (q[:, 0], q[:, 1], q[:, 2], q[:, 3],
+                                    q[:, 4], q[:, 5])
+
+    a = a0 * a0 * s00 + 2 * a0 * c0 * s02 + c0 * c0 * s22 + COV2D_DILATION
+    b = (a0 * b1 * s01 + a0 * c1 * s02 + c0 * b1 * s12 + c0 * c1 * s22)
+    c = b1 * b1 * s11 + 2 * b1 * c1 * s12 + c1 * c1 * s22 + COV2D_DILATION
     return jnp.stack([a, b, c], axis=-1)
 
 
 def flat_normals(scaling: jnp.ndarray, rotation: jnp.ndarray,
                  xyz: jnp.ndarray, campos: jnp.ndarray) -> jnp.ndarray:
     """Shortest-axis normal of each (flattened) Gaussian, flipped to face the
-    camera.  This is the fork's rendered-normal channel (SURVEY.md §2.2)."""
-    R = build_rotation(rotation)  # (N, 3, 3), columns are the local axes
-    idx = jnp.argmin(scaling, axis=-1)  # (N,)
-    onehot = jax.nn.one_hot(idx, 3, dtype=R.dtype)  # (N, 3)
-    n = (R * onehot[:, None, :]).sum(-1)  # select column idx
+    camera.  This is the fork's rendered-normal channel (SURVEY.md §2.2).
+
+    Channel form (see transforms.rotation_channels): the R columns are
+    selected with two nested wheres instead of materializing (N, 3, 3)."""
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = rotation_channels(rotation)
+    idx = jnp.argmin(scaling, axis=-1)  # (N,) column of the shortest axis
+    is0 = idx == 0
+    is1 = idx == 1
+    nx = jnp.where(is0, r00, jnp.where(is1, r01, r02))
+    ny = jnp.where(is0, r10, jnp.where(is1, r11, r12))
+    nz = jnp.where(is0, r20, jnp.where(is1, r21, r22))
+    n = jnp.stack([nx, ny, nz], axis=-1)
     to_cam = campos[None, :] - xyz
     sign = jnp.sign((n * to_cam).sum(-1, keepdims=True))
     sign = jnp.where(sign == 0, 1.0, sign)
@@ -125,8 +157,10 @@ def project_gaussians(xyz, scaling, rotation, opacity, colors,
     focal_y = height / (2.0 * tanfovy)
 
     if cov3d_precomp is None:
-        cov3d = build_covariance(scaling, rotation, scaling_modifier)
-    else:
+        cov3d = build_covariance_packed(scaling, rotation, scaling_modifier)
+    elif cov3d_precomp.ndim == 3:        # (N, 3, 3) full matrices
+        cov3d = strip_symmetric(cov3d_precomp)
+    else:                                # already packed (N, 6)
         cov3d = cov3d_precomp
 
     means2d, depths = project_points(xyz, full_proj, width, height, ndc_offset)

@@ -105,8 +105,15 @@ def gather_rows(table: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     ~80 ms).  So: custom VJP, backward pads the cotangent rows up to a
     multiple of 16 and segment-sums.  Values and gradients are exactly the
     scatter-add's (same additions, deterministic order).
+
+    ``g`` is clipped to [0, n) in-function so forward and backward always
+    agree (a raw -1 pad index would wrap forward but drop its cotangent in
+    segment_sum).  Reverse-mode only: the custom VJP blocks jvp/jacfwd/
+    linearize through the render path (the repo's only forward-mode use,
+    texture_gaussian3d Jacobians, is confined to the UV net).
     """
     n = table.shape[0]
+    g = jnp.clip(g, 0, n - 1)
 
     @jax.custom_vjp
     def _gather(t):

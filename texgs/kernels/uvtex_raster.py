@@ -46,7 +46,7 @@ from texgs.kernels.tile_raster import (PIX, ROW_F0, ROW_LOGOP, N_QUAD,
                                        chunk_blend, gather_rows,
                                        rasterize_scan, tile_basis)
 from texgs.utils.sh import C0, eval_sh
-from texgs.utils.transforms import build_rotation
+from texgs.utils.transforms import rotation_channels
 
 T_STAR_MAX = 1e4
 
@@ -56,7 +56,7 @@ class UVTexTables(NamedTuple):
     sv: jnp.ndarray        # (N, 3) Sigma^-1 (mu - o)
     siginv: jnp.ndarray    # (N, 6) packed inverse covariance
     base_uv: jnp.ndarray   # (N, 3) uv_c - J (mu - o)
-    jmat: jnp.ndarray      # (N, 3, 3) duv/dxyz (constant)
+    jmat: jnp.ndarray      # (N, 9) duv/dxyz row-major (constant)
 
 
 def residual_sh_colors(shs: Optional[jnp.ndarray], xyz, campos,
@@ -76,18 +76,33 @@ def residual_sh_colors(shs: Optional[jnp.ndarray], xyz, campos,
 
 def build_uvtex_tables(xyz, scaling, rotation, uvs, grad_uvs,
                        campos) -> UVTexTables:
-    """scaling: activated world scales; rotation: normalized quats."""
-    R = build_rotation(rotation)                      # (N, 3, 3)
-    inv_s2 = 1.0 / jnp.maximum(scaling * scaling, 1e-24)
-    siginv_full = (R * inv_s2[:, None, :]) @ jnp.swapaxes(R, 1, 2)
+    """scaling: activated world scales; rotation: normalized quats.
+
+    Channel form (transforms.rotation_channels): Sigma^-1 = R diag(1/s^2)
+    R^T is assembled as six (N,) channels — batched (N, 3, 3) matmuls pad
+    to (8, 128) tiles on TPU and turn this into GBs of HBM traffic."""
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = rotation_channels(rotation)
+    i0 = 1.0 / jnp.maximum(scaling[:, 0] * scaling[:, 0], 1e-24)
+    i1 = 1.0 / jnp.maximum(scaling[:, 1] * scaling[:, 1], 1e-24)
+    i2 = 1.0 / jnp.maximum(scaling[:, 2] * scaling[:, 2], 1e-24)
+    sxx = i0 * r00 * r00 + i1 * r01 * r01 + i2 * r02 * r02
+    sxy = i0 * r00 * r10 + i1 * r01 * r11 + i2 * r02 * r12
+    sxz = i0 * r00 * r20 + i1 * r01 * r21 + i2 * r02 * r22
+    syy = i0 * r10 * r10 + i1 * r11 * r11 + i2 * r12 * r12
+    syz = i0 * r10 * r20 + i1 * r11 * r21 + i2 * r12 * r22
+    szz = i0 * r20 * r20 + i1 * r21 * r21 + i2 * r22 * r22
     v = xyz - campos[None, :]
-    sv = (siginv_full @ v[..., None])[..., 0]
-    jmat = jax.lax.stop_gradient(grad_uvs).reshape(-1, 3, 3)
-    base_uv = uvs - (jmat @ v[..., None])[..., 0]
-    siginv = jnp.stack([
-        siginv_full[:, 0, 0], siginv_full[:, 0, 1], siginv_full[:, 0, 2],
-        siginv_full[:, 1, 1], siginv_full[:, 1, 2], siginv_full[:, 2, 2],
-    ], axis=-1)
+    vx, vy, vz = v[:, 0], v[:, 1], v[:, 2]
+    sv = jnp.stack([sxx * vx + sxy * vy + sxz * vz,
+                    sxy * vx + syy * vy + syz * vz,
+                    sxz * vx + syz * vy + szz * vz], axis=-1)
+    jmat = jax.lax.stop_gradient(grad_uvs)            # (N, 9) row-major
+    jv = jnp.stack([
+        jmat[:, 0] * vx + jmat[:, 1] * vy + jmat[:, 2] * vz,
+        jmat[:, 3] * vx + jmat[:, 4] * vy + jmat[:, 5] * vz,
+        jmat[:, 6] * vx + jmat[:, 7] * vy + jmat[:, 8] * vz], axis=-1)
+    base_uv = uvs - jv
+    siginv = jnp.stack([sxx, sxy, sxz, syy, syz, szz], axis=-1)
     return UVTexTables(sv=sv, siginv=siginv, base_uv=base_uv, jmat=jmat)
 
 
@@ -131,7 +146,10 @@ def intersect_uv(d: jnp.ndarray, tables: UVTexTables, idx=None):
     t_star = jnp.clip(num / jnp.where(jnp.abs(den) < 1e-20, 1e-20, den),
                       0.0, T_STAR_MAX)
 
-    jd = jnp.einsum("kij,pj->pki", jm, d)              # (P, K, 3)
+    # jd[p, k, i] = sum_j J[k, i, j] d[p, j]: three (P, 3) @ (3, K) matmuls
+    # on the flat row-major jmat (no (K, 3, 3) intermediates)
+    jd = jnp.stack([d @ jm[:, 0:3].T, d @ jm[:, 3:6].T, d @ jm[:, 6:9].T],
+                   axis=-1)                            # (P, K, 3)
     uv = buv[None, :, :] + t_star[..., None] * jd
     return uv / (jnp.linalg.norm(uv, axis=-1, keepdims=True) + 1e-12)
 
@@ -282,7 +300,7 @@ def mlist_scan(attrs: jnp.ndarray, uv_rows: jnp.ndarray, pairs: PairList,
 
         tables = UVTexTables(sv=u_chunk[:, 0:3], siginv=u_chunk[:, 3:9],
                              base_uv=u_chunk[:, 9:12],
-                             jmat=u_chunk[:, 12:21].reshape(-1, 3, 3))
+                             jmat=u_chunk[:, 12:21])
         uv = intersect_uv(d, tables)                    # (PIX, K, 3)
 
         # exactly the contributor set of the sequential semantics (any
@@ -305,8 +323,12 @@ def mlist_scan(attrs: jnp.ndarray, uv_rows: jnp.ndarray, pairs: PairList,
     t0 = jnp.ones((PIX,), attrs.dtype)
     d0 = jnp.zeros((PIX,), bool)
     c0i = jnp.zeros((PIX,), jnp.int32)
+    # remat the chunk body: autodiff of the raw scan saves every chunk's
+    # onehot/uv residuals (O(n_chunks * PIX * chunk) — tens of GB at
+    # production shapes); recomputing them in the backward is cheap
     (out, _, _, _), _ = jax.lax.scan(
-        step, (out0, t0, d0, c0i), jnp.arange(n_chunks, dtype=jnp.int32))
+        jax.checkpoint(step), (out0, t0, d0, c0i),
+        jnp.arange(n_chunks, dtype=jnp.int32))
     return out
 
 
@@ -317,7 +339,7 @@ def build_uv_rows(tables: UVTexTables, pairs: PairList) -> jnp.ndarray:
     n = tables.sv.shape[0]
     full = jnp.concatenate([
         tables.sv, tables.siginv, tables.base_uv,
-        tables.jmat.reshape(-1, 9), jnp.zeros((n, 3))], axis=1)  # (N, 24)
+        tables.jmat, jnp.zeros((n, 3))], axis=1)  # (N, 24)
     return gather_rows(full, g)
 
 
