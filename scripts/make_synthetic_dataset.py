@@ -36,11 +36,26 @@ if os.environ.get("TEXGS_CPU"):
 def main():
     parser = ArgumentParser()
     parser.add_argument("out_dir")
-    parser.add_argument("--kind", default="blob", choices=["blob", "sphere"])
+    parser.add_argument("--kind", default="blob",
+                        choices=["blob", "sphere", "checker"])
     parser.add_argument("--n", type=int, default=4096)
     parser.add_argument("--views", type=int, default=64)
     parser.add_argument("--test_views", type=int, default=8)
     parser.add_argument("--size", type=int, default=400)
+    parser.add_argument("--width", type=int, default=0,
+                        help="image width (default: --size, square)")
+    parser.add_argument("--height", type=int, default=0)
+    parser.add_argument("--spiral", action="store_true",
+                        help="spiral orbit (elevation sweep) instead of a "
+                             "single ring — full-sphere coverage for "
+                             "UV/texture training")
+    parser.add_argument("--backend", default="reference",
+                        choices=["reference", "scan", "pallas"],
+                        help="GT renderer: 'reference' = dense oracle "
+                             "(exact, CPU-feasible only at tiny sizes); "
+                             "'scan'/'pallas' = production tiled kernels "
+                             "(allclose-tested vs the oracle; required for "
+                             "production shapes like 800x600 x 100k G)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--init_ply", action="store_true",
                         help="also write the true point cloud as "
@@ -50,22 +65,43 @@ def main():
     args = parser.parse_args()
 
     import imageio
+    import jax
     import jax.numpy as jnp
 
     from texgs.core.state import init_from_pcd
     from texgs.data.synthetic import (blob_point_cloud, orbit_cameras,
-                                      sphere_point_cloud)
-    from texgs.kernels import project as proj_k
-    from texgs.kernels.reference import rasterize_reference
+                                      sphere_point_cloud,
+                                      textured_sphere_point_cloud)
+    from texgs.render import render as render_fn
 
-    pcd = (sphere_point_cloud(args.n, seed=args.seed) if args.kind == "sphere"
-           else blob_point_cloud(args.n, seed=args.seed))
+    makers = {"sphere": sphere_point_cloud,
+              "checker": textured_sphere_point_cloud,
+              "blob": blob_point_cloud}
+    pcd = makers[args.kind](args.n, seed=args.seed)
     state = init_from_pcd(pcd.points, pcd.colors, max_sh_degree=0)
     state = state.replace(opacity=jnp.full_like(state.opacity, 4.0))
 
     total = args.views + args.test_views
-    cams = orbit_cameras(total, radius=3.5, width=args.size,
-                         height=args.size)
+    width = args.width or args.size
+    height = args.height or args.size
+    cams = orbit_cameras(total, radius=3.5, width=width, height=height,
+                         spiral=args.spiral)
+
+    # ONE jitted render reused for every view: the camera is a pytree
+    # ARGUMENT (its uid/image_name statics are stripped so all views share
+    # a trace), and params are arguments too — axon corrupts big
+    # closure-captured arrays (NOTES.md)
+    import dataclasses as _dc
+
+    @jax.jit
+    def gt_view(cam, xyz, opacity, scaling, rotation, features):
+        return render_fn(cam, xyz=xyz, opacity=opacity, scaling=scaling,
+                         rotation=rotation, features=features,
+                         active_sh_degree=0, bg_color=jnp.zeros(3),
+                         backend=args.backend)
+
+    activated = (state.xyz, state.get_opacity(), state.get_scaling(),
+                 state.get_rotation(), state.get_features())
 
     splits = {"train": cams[: args.views], "test": cams[args.views:]}
     os.makedirs(args.out_dir, exist_ok=True)
@@ -73,19 +109,12 @@ def main():
         os.makedirs(os.path.join(args.out_dir, split), exist_ok=True)
         frames = []
         for i, cam in enumerate(split_cams):
-            colors = proj_k.sh_colors(state.get_features(), state.xyz,
-                                      cam.camera_center, 0)
-            proj = proj_k.project_gaussians(
-                state.xyz, state.get_scaling(), state.get_rotation(),
-                state.get_opacity(), colors, cam.world_view, cam.full_proj,
-                cam.camera_center, cam.width, cam.height, cam.tanfovx,
-                cam.tanfovy)
-            out = rasterize_reference(proj, cam.height, cam.width,
-                                      jnp.zeros(3))
-            rgb = np.clip(np.asarray(out.image).transpose(1, 2, 0), 0, 1)
-            alpha = np.clip(np.asarray(out.alpha[0]), 0, 1)
+            out = gt_view(_dc.replace(cam, uid=0, image_name=""),
+                          *activated)
+            rgb = np.clip(np.asarray(out["render"]).transpose(1, 2, 0), 0, 1)
+            alpha = np.clip(np.asarray(out["alpha"][0]), 0, 1)
             normal = np.clip(
-                0.5 * (np.asarray(out.norm).transpose(1, 2, 0) + 1), 0, 1)
+                0.5 * (np.asarray(out["norm"]).transpose(1, 2, 0) + 1), 0, 1)
 
             name = f"r_{i}"
             rgba = np.concatenate([rgb, alpha[..., None]], axis=-1)

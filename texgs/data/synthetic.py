@@ -31,6 +31,33 @@ def sphere_point_cloud(n: int = 2048, radius: float = 1.0,
                            normals=v.astype(np.float32))
 
 
+def textured_sphere_point_cloud(n: int = 2048, radius: float = 1.0,
+                                seed: int = 0,
+                                freq: float = 12.0) -> BasicPointCloud:
+    """Points on a sphere with HIGH-frequency procedural color — a stand-in
+    for a textured object (the reference's DTU scans / textured .obj
+    renders).  Stage-3 quality runs need appearance the per-Gaussian-color
+    model can only match by densifying, but the cubemap texture can encode
+    directly; the low-frequency `sphere_point_cloud` colors under-test the
+    texture stage."""
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = v * radius
+    # checker-ish bands at `freq` + a smooth tint so neither the texture
+    # nor the SH residual is degenerate
+    bands = (np.sin(freq * pts[:, 0]) * np.sin(freq * pts[:, 1])
+             * np.sin(freq * pts[:, 2]) > 0).astype(np.float32)
+    colors = np.stack([
+        0.15 + 0.7 * bands,
+        0.5 + 0.3 * np.sin(2 * pts[:, 1]),
+        0.85 - 0.7 * bands,
+    ], axis=1)
+    return BasicPointCloud(points=pts.astype(np.float32),
+                           colors=np.clip(colors, 0, 1).astype(np.float32),
+                           normals=v.astype(np.float32))
+
+
 def blob_point_cloud(n: int = 4096, seed: int = 0) -> BasicPointCloud:
     """A lumpy star-convex blob (sphere with low-frequency radial bumps)."""
     rng = np.random.default_rng(seed)
@@ -47,15 +74,24 @@ def blob_point_cloud(n: int = 4096, seed: int = 0) -> BasicPointCloud:
 
 def orbit_cameras(n_cams: int = 8, radius: float = 4.0, fov_deg: float = 50.0,
                   width: int = 128, height: int = 128,
-                  elevation_deg: float = 20.0) -> list[Camera]:
-    """Ring of cameras looking at the origin."""
+                  elevation_deg: float = 20.0,
+                  spiral: bool = False) -> list[Camera]:
+    """Ring of cameras looking at the origin.  With ``spiral=True`` the
+    elevation sweeps [-elevation..+2*elevation] over two turns — full-sphere
+    coverage for UV-map / texture training (a single-ring dataset leaves
+    polar texture regions unobserved)."""
     import math
     fovx = math.radians(fov_deg)
     fovy = 2 * math.atan(math.tan(fovx / 2) * height / width)
     cams = []
     for i in range(n_cams):
-        az = 2 * math.pi * i / n_cams
-        el = math.radians(elevation_deg)
+        if spiral:
+            az = 4 * math.pi * i / n_cams
+            el = math.radians(elevation_deg) * (
+                -1.0 + 3.0 * i / max(n_cams - 1, 1))
+        else:
+            az = 2 * math.pi * i / n_cams
+            el = math.radians(elevation_deg)
         eye = np.array([radius * math.cos(az) * math.cos(el),
                         radius * math.sin(az) * math.cos(el),
                         radius * math.sin(el)])

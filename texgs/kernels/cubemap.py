@@ -64,9 +64,26 @@ def sample_cubemap(texture: jnp.ndarray, dirs: jnp.ndarray,
     """Cubemap fetch.  texture: (6, R, R, 3); dirs: (N, 3) any norm.
     Returns (N, 3).  Differentiable in texture and dirs.
 
-    filter_mode 'bilinear' (parity, 4 taps) or 'nearest' (1 tap — 4x fewer
-    random accesses; on TPU the fetch is latency-bound, so stage-3 training
-    can opt into it via tex_cfg.filter_mode)."""
+    filter_mode:
+      'bilinear'       — 4 taps, SEAMLESS across face edges (parity with
+                         nvdiffrast boundary_mode='cube',
+                         /root/reference/models/uv_map_gaussian3d.py:259):
+                         a tap that falls past the face boundary is
+                         re-resolved through its actual 3D direction and
+                         fetched from the adjacent face's texel, so values
+                         are continuous across edges and texel gradients
+                         flow between faces.  Interior taps resolve to the
+                         identical texel as plain indexing.  At the 8 cube
+                         corners (both tap coords out of face) the
+                         majorant-axis rule picks the diagonal face's
+                         texel — a documented approximation of
+                         nvdiffrast's 3-texel corner average.
+      'bilinear_clamp' — 4 taps clamped at face edges (the old behavior;
+                         kept as the exact twin of the textile kernel's
+                         in-window clamped tap math for tests).
+      'nearest'        — 1 tap (4x fewer random accesses; the fetch is
+                         latency-bound on TPU, so stage-3 training can opt
+                         in via tex_cfg.filter_mode)."""
     res = texture.shape[1]
     face, u, v = direction_to_face_uv(dirs)
 
@@ -82,10 +99,28 @@ def sample_cubemap(texture: jnp.ndarray, dirs: jnp.ndarray,
     wx = fu - x0
     wy = fv - y0
 
-    def tap(xi, yi):
-        xi = jnp.clip(xi.astype(jnp.int32), 0, res - 1)
-        yi = jnp.clip(yi.astype(jnp.int32), 0, res - 1)
-        return texture[face, yi, xi]
+    if filter_mode == "bilinear_clamp":
+        def tap(xi, yi):
+            xi = jnp.clip(xi.astype(jnp.int32), 0, res - 1)
+            yi = jnp.clip(yi.astype(jnp.int32), 0, res - 1)
+            return texture[face, yi, xi]
+    else:
+        def tap(xi, yi):
+            # re-resolve the tap through its direction: texel centers map
+            # to u_t = (xi + .5)/res*2 - 1 (|u_t| > 1 past the edge); the
+            # majorant axis of the reconstructed direction then selects
+            # the adjacent face, and the gnomonic re-projection lands on
+            # the angular-nearest texel across the edge.  Interior taps
+            # round-trip to exactly (face, yi, xi).
+            u_t = (xi + 0.5) / res * 2.0 - 1.0
+            v_t = (yi + 0.5) / res * 2.0 - 1.0
+            d_t = face_uv_to_direction(face, u_t, v_t)
+            f2, u2, v2 = direction_to_face_uv(d_t)
+            x2 = jnp.clip(((u2 * 0.5 + 0.5) * res).astype(jnp.int32),
+                          0, res - 1)
+            y2 = jnp.clip(((v2 * 0.5 + 0.5) * res).astype(jnp.int32),
+                          0, res - 1)
+            return texture[f2, y2, x2]
 
     t00 = tap(x0, y0)
     t10 = tap(x0 + 1, y0)

@@ -54,8 +54,14 @@ BLEND_BF16 = False
 
 def _mxu_dot(a, b, dims):
     if BLEND_BF16:
+        # explicit DEFAULT precision: bf16 operands + the library-wide
+        # 'highest' default would be rejected by Mosaic (fp32 contraction
+        # on bf16 inputs)
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
     return jax.lax.dot_general(a, b, (dims, ((), ())),
                                preferred_element_type=jnp.float32)
 

@@ -26,10 +26,11 @@ Design (validated primitive-by-primitive on v5e):
   face-gradient output block are each fetched/flushed once per face
   (revisit-accumulate); 6 dummy steps guarantee every gradient face is
   zero-initialised.
-* Bilinear edge clamping is folded into the *indices* (lx1 = clamped
-  lx0+1): tap values coincide exactly with the XLA twin's clipped taps, so
-  outputs and all gradients (incl. the zero wx-gradient at face edges)
-  match sample_cubemap's autodiff.
+* Requests whose bilinear footprint crosses the face boundary are routed
+  to the miss correction (seamless sample_cubemap fetch of the adjacent
+  face's texels, matching nvdiffrast boundary_mode='cube'); in-window taps
+  therefore never engage their index clamps, and outputs + all gradients
+  match the seamless sample_cubemap twin's autodiff exactly.
 * Mip windows: each (tile, face-slot) picks the finest mip level whose uv
   footprint fits one window; the texture input is a per-face mip atlas
   (level l stacked below level l-1, build_atlas) so window offsets address
@@ -152,25 +153,37 @@ def _pack_meta(slot, first, face, y0, x0, blkbits):
 
 def _slot_taps(u, v, size, res, filter_mode):
     """Bilinear tap ints + fractions at a per-request mip size (f32/i32
-    arrays broadcast per tile).  size is stop-grad; u/v differentiable."""
+    arrays broadcast per tile).  size is stop-grad; u/v differentiable.
+
+    Also returns ``inface``: False where the bilinear footprint crosses
+    the face boundary at this level.  Those requests are routed to the
+    bounded miss correction, whose seamless sample_cubemap fetches the
+    adjacent face's texels — the in-window kernel taps never clamp, so
+    kernel == twin stays exact AND face seams filter correctly."""
     uu = u * 0.5 + 0.5
     vv = v * 0.5 + 0.5
     sizef = size.astype(jnp.float32)
     if filter_mode == "nearest":
         xi0 = jnp.clip((uu * sizef).astype(jnp.int32), 0, size - 1)
         yi0 = jnp.clip((vv * sizef).astype(jnp.int32), 0, size - 1)
-        return xi0, xi0, yi0, yi0, jnp.zeros_like(u), jnp.zeros_like(v)
+        inface = jnp.ones_like(xi0, bool)
+        return xi0, xi0, yi0, yi0, jnp.zeros_like(u), jnp.zeros_like(v), \
+            inface
     fu = uu * sizef - 0.5
     fv = vv * sizef - 0.5
     x0f = jnp.floor(fu)
     y0f = jnp.floor(fv)
     wx = fu - x0f          # d wx / d fu = 1 (floor has zero gradient)
     wy = fv - y0f
-    xi0 = jnp.clip(x0f.astype(jnp.int32), 0, size - 1)
-    xi1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, size - 1)
-    yi0 = jnp.clip(y0f.astype(jnp.int32), 0, size - 1)
-    yi1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, size - 1)
-    return xi0, xi1, yi0, yi1, wx, wy
+    x0i = x0f.astype(jnp.int32)
+    y0i = y0f.astype(jnp.int32)
+    inface = ((x0i >= 0) & (x0i + 1 <= size - 1)
+              & (y0i >= 0) & (y0i + 1 <= size - 1))
+    xi0 = jnp.clip(x0i, 0, size - 1)
+    xi1 = jnp.clip(x0i + 1, 0, size - 1)
+    yi0 = jnp.clip(y0i, 0, size - 1)
+    yi1 = jnp.clip(y0i + 1, 0, size - 1)
+    return xi0, xi1, yi0, yi1, wx, wy, inface
 
 
 def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
@@ -256,7 +269,9 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
                        0, cfg.n_levels - 1)
         size_t = jnp.right_shift(jnp.int32(res), lvl)    # (T,) level size
         size = size_t[:, None, None]
-        xi0, xi1, yi0, yi1, wx, wy = _slot_taps(u, v, size, res, filter_mode)
+        xi0, xi1, yi0, yi1, wx, wy, inface = _slot_taps(u, v, size, res,
+                                                        filter_mode)
+        msk = msk & inface
 
         scale = jnp.exp2(-lvl.astype(jnp.float32))       # level-0 -> level-l
         cy = (my * scale).astype(jnp.int32)
@@ -608,9 +623,15 @@ def _bwd_kernel(tile_ref, meta_ref, rows_ref, tex_ref, wq_ref, wx_ref,
                     xh = x_full.astype(jnp.bfloat16)
                     xl = (x_full - xh.astype(jnp.float32)).astype(
                         jnp.bfloat16)
+                    # precision=DEFAULT: operands are already an exact
+                    # bf16 hi/lo split; the library-wide 'highest' default
+                    # would ask Mosaic for fp32 contraction on bf16 inputs
+                    # (a compile error) and the extra passes are the point
+                    # of the manual split anyway
                     mm = lambda aa, bb: jax.lax.dot_general(
                         aa, bb, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
                     gw = mm(ryh, xh) + mm(ryh, xl) + mm(ryl, xh)
                     for h in range(cfg.n_half):
                         xo = pl.multiple_of(
