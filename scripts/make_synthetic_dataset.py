@@ -33,6 +33,79 @@ if os.environ.get("TEXGS_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
 
+def _write_pfm(path: str, data: np.ndarray) -> None:
+    """Little-endian PFM, vertically flipped (the convention
+    texgs.data.readers.load_pfm / the reference's DTU normals use)."""
+    data = np.asarray(data, np.float32)
+    color = data.ndim == 3 and data.shape[2] == 3
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if color else b"Pf\n")
+        f.write(f"{data.shape[1]} {data.shape[0]}\n".encode())
+        f.write(b"-1.0\n")
+        data[::-1].astype("<f").tofile(f)
+
+
+def _write_neilf(args, cams, gt_view, activated, pcd):
+    """NeILF/DTU layout: inputs/sfm_scene.json + images/ + depths/*.tiff +
+    normals/*.pfm + pmasks/*.png + model/sparse.ply — everything
+    texgs.data.readers.read_neilf_scene consumes (mirroring the reference's
+    DTU preprocessing, dataset_readers.py:360-500).  All views live in one
+    flat index space; the reader's fixed DTU validation indexes pick the
+    test split when 'dtu' is in the directory name."""
+    import dataclasses as _dc
+    import math
+
+    import imageio.v2 as imageio
+
+    inputs = os.path.join(args.out_dir, "inputs")
+    for sub in ("images", "depths", "normals", "pmasks", "model"):
+        os.makedirs(os.path.join(inputs, sub), exist_ok=True)
+
+    # diag 2 -> the reader's max/2 rule makes bbox_inv the identity (the
+    # scene is already unit-scale), so depths/points pass through unchanged
+    bbox = {"transform": [2.0, 0, 0, 0, 0, 2.0, 0, 0,
+                          0, 0, 2.0, 0, 0, 0, 0, 1.0]}
+    file_paths = {}
+    images_map = {}
+    for i, cam in enumerate(cams):
+        out = gt_view(_dc.replace(cam, uid=0, image_name=""), *activated)
+        rgb = np.clip(np.asarray(out["render"]).transpose(1, 2, 0), 0, 1)
+        alpha = np.clip(np.asarray(out["alpha"][0]), 0, 1)
+        normal = np.asarray(out["norm"]).transpose(1, 2, 0)
+        depth = np.asarray(out["depth"][0])
+
+        name = f"{i:06d}"
+        imageio.imwrite(os.path.join(inputs, "images", name + ".png"),
+                        (rgb * 255).astype(np.uint8))
+        imageio.imwrite(os.path.join(inputs, "pmasks", name + ".png"),
+                        ((alpha > 0.5) * 255).astype(np.uint8))
+        _write_pfm(os.path.join(inputs, "normals", name + ".pfm"),
+                   np.clip(normal, -1, 1))
+        imageio.imwrite(os.path.join(inputs, "depths", name + ".tiff"),
+                        depth.astype(np.float32))
+
+        w2c = np.asarray(cam.world_view, np.float64).T  # row-vec -> standard
+        fx = cam.width / (2 * math.tan(cam.fovx / 2))
+        fy = cam.height / (2 * math.tan(cam.fovy / 2))
+        file_paths[str(i)] = f"images/{name}.png"
+        images_map[str(i)] = {
+            "flg": 2,
+            "camera": {"extrinsic": w2c.reshape(-1).tolist(),
+                       "intrinsic": {"focal": [fx, fy]}},
+        }
+
+    with open(os.path.join(inputs, "sfm_scene.json"), "w") as f:
+        json.dump({"bbox": bbox,
+                   "image_path": {"file_paths": file_paths},
+                   "camera_track_map": {"images": images_map}}, f)
+
+    from texgs.io import ply as plyio
+    plyio.write_ply_xyz(os.path.join(inputs, "model", "sparse.ply"),
+                        np.asarray(pcd.points),
+                        colors=np.asarray(pcd.colors),
+                        normals=np.zeros_like(np.asarray(pcd.points)))
+
+
 def main():
     parser = ArgumentParser()
     parser.add_argument("out_dir")
@@ -56,6 +129,15 @@ def main():
                              "'scan'/'pallas' = production tiled kernels "
                              "(allclose-tested vs the oracle; required for "
                              "production shapes like 800x600 x 100k G)")
+    parser.add_argument("--format", default="blender",
+                        choices=["blender", "neilf"],
+                        help="on-disk layout: NeRF-synthetic transforms_*."
+                             "json or NeILF/DTU inputs/sfm_scene.json with "
+                             "depth .tiff / normal .pfm / pmask companions "
+                             "(reference dataset_readers.py:360-500).  The "
+                             "NeILF eval split is the fixed DTU indexes "
+                             "[6, 13, 30, 35], active when the out_dir "
+                             "name contains 'dtu'")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--init_ply", action="store_true",
                         help="also write the true point cloud as "
@@ -102,6 +184,11 @@ def main():
 
     activated = (state.xyz, state.get_opacity(), state.get_scaling(),
                  state.get_rotation(), state.get_features())
+
+    if args.format == "neilf":
+        _write_neilf(args, cams, gt_view, activated, pcd)
+        print(f"wrote {total} views to {args.out_dir} (NeILF format)")
+        return
 
     splits = {"train": cams[: args.views], "test": cams[args.views:]}
     os.makedirs(args.out_dir, exist_ok=True)

@@ -85,21 +85,28 @@ def _fused_fwd_kernel(ct_ref, flags_ref, cam_ref, attrs_ref, uv_ref,
         def _():
             d = _rays(cam_ref, px0, py0)
             uvn, *_ = _intersect(uv_ref[:, :], d)
-            prev_ml = ml_ref[0]
             vals = [w, uvn[0], uvn[1], uvn[2]]
-            ml_rows = []
-            for mi in range(m):
-                sel = (rank == float(mi)) * accept
-                for c in range(4):
-                    ml_rows.append(prev_ml[4 * mi + c]
-                                   + jnp.sum(sel * vals[c], axis=-1))
-            block = jnp.stack(ml_rows, axis=0)
-            pad = ml_ref.shape[1] - 4 * m
-            if pad > 0:
-                block = jnp.concatenate(
-                    [block, jnp.zeros((pad, block.shape[1]), block.dtype)],
-                    axis=0)
-            ml_ref[0] = block
+            # ranks touched by THIS chunk lie in [min(count_in),
+            # max(count_out)): one chunk typically advances each pixel's
+            # list by only a few entries, so all slot groups outside the
+            # window are provably all-zero — predicating them away turns
+            # the m x 4 masked reductions into ~window-size work.  Groups
+            # of 2 slots = 8 rows keep the read-modify-write sublane-
+            # aligned for f32.
+            count_out = count_in + jnp.sum(accept, axis=-1, keepdims=True)
+            lo = jnp.min(count_in)
+            hi = jnp.max(count_out)
+            for mi0 in range(0, m, 2):
+                @pl.when((lo < float(mi0 + 2)) & (float(mi0) < hi))
+                def _(mi0=mi0):
+                    rows = []
+                    for mi in (mi0, mi0 + 1):
+                        sel = (rank == float(mi)) * accept
+                        for c in range(4):
+                            rows.append(jnp.sum(sel * vals[c], axis=-1))
+                    blk = jnp.stack(rows, axis=0)          # (8, PIX)
+                    cur = ml_ref[0, 4 * mi0:4 * mi0 + 8]
+                    ml_ref[0, 4 * mi0:4 * mi0 + 8] = cur + blk
 
         tbuf[:, :] = t_out
         dbuf[:, :] = done_out
@@ -108,7 +115,8 @@ def _fused_fwd_kernel(ct_ref, flags_ref, cam_ref, attrs_ref, uv_ref,
 
 def _fused_bwd_kernel(ct_ref, flags_ref, cam_ref, attrs_ref, uv_ref,
                       fwd_blend_ref, g_blend_ref, fwd_ml_ref, g_ml_ref,
-                      d_attrs_ref, d_uv_ref, tbuf, dbuf, cbuf, pbuf, *, m):
+                      d_attrs_ref, d_uv_ref, tbuf, dbuf, cbuf, pbuf,
+                      gwbuf, gu0buf, gu1buf, gu2buf, *, m):
     i = pl.program_id(0)
     flags = flags_ref[i]
     live = (flags & 1) != 0
@@ -158,15 +166,43 @@ def _fused_bwd_kernel(ct_ref, flags_ref, cam_ref, attrs_ref, uv_ref,
 
         g_ml = g_ml_ref[0]
         fwd_ml = fwd_ml_ref[0]
-        g_w = jnp.zeros_like(w)
-        g_uv = [jnp.zeros_like(w) for _ in range(3)]
+        # tot_ml sums over ALL slots (it is the whole-list suffix total,
+        # not this chunk's contribution) — m cheap (PIX,) FMAs, kept
         tot_ml = jnp.zeros((PIX, 1), jnp.float32)
         for mi in range(m):
-            sel = (rank == float(mi)) * in_list
-            g_w = g_w + sel * g_ml[4 * mi][:, None]
-            for c in range(3):
-                g_uv[c] = g_uv[c] + sel * g_ml[4 * mi + 1 + c][:, None]
             tot_ml = tot_ml + (fwd_ml[4 * mi] * g_ml[4 * mi])[:, None]
+
+        # per-element slot cotangents: only slots in this chunk's rank
+        # window [min(count_in), max(count_out)) can select anything, so
+        # the m x 4 masked gathers predicate down to ~window-size work
+        # (same trick as the forward).  pl.when regions cannot carry
+        # accumulators across iterations -> accumulate in VMEM scratch.
+        gwbuf[:, :] = jnp.zeros_like(gwbuf)
+        gu0buf[:, :] = jnp.zeros_like(gu0buf)
+        gu1buf[:, :] = jnp.zeros_like(gu1buf)
+        gu2buf[:, :] = jnp.zeros_like(gu2buf)
+        count_out = count_in + jnp.sum(accept, axis=-1, keepdims=True)
+        lo = jnp.min(count_in)
+        hi = jnp.minimum(jnp.max(count_out), float(m))
+        for mi0 in range(0, m, 2):
+            @pl.when((lo < float(mi0 + 2)) & (float(mi0) < hi))
+            def _(mi0=mi0):
+                aw = jnp.zeros_like(w)
+                a0 = jnp.zeros_like(w)
+                a1 = jnp.zeros_like(w)
+                a2 = jnp.zeros_like(w)
+                for mi in (mi0, mi0 + 1):
+                    sel = (rank == float(mi)) * in_list
+                    aw = aw + sel * g_ml[4 * mi][:, None]
+                    a0 = a0 + sel * g_ml[4 * mi + 1][:, None]
+                    a1 = a1 + sel * g_ml[4 * mi + 2][:, None]
+                    a2 = a2 + sel * g_ml[4 * mi + 3][:, None]
+                gwbuf[:, :] = gwbuf[:, :] + aw
+                gu0buf[:, :] = gu0buf[:, :] + a0
+                gu1buf[:, :] = gu1buf[:, :] + a1
+                gu2buf[:, :] = gu2buf[:, :] + a2
+        g_w = gwbuf[:, :]
+        g_uv = [gu0buf[:, :], gu1buf[:, :], gu2buf[:, :]]
 
         dot = uvn[0] * g_uv[0] + uvn[1] * g_uv[1] + uvn[2] * g_uv[2]
         du = [inv_norm * (g_uv[c] - uvn[c] * dot) for c in range(3)]
@@ -317,6 +353,10 @@ def _fused_bwd(n_tiles, chunk, m, res, g):
             pltpu.VMEM((PIX, 1), jnp.float32),
             pltpu.VMEM((PIX, 1), jnp.float32),
             pltpu.VMEM((PIX, 1), jnp.float32),
+            pltpu.VMEM((PIX, chunk), jnp.float32),
+            pltpu.VMEM((PIX, chunk), jnp.float32),
+            pltpu.VMEM((PIX, chunk), jnp.float32),
+            pltpu.VMEM((PIX, chunk), jnp.float32),
         ],
     )
     d_attrs, d_uv = pl.pallas_call(
@@ -343,6 +383,7 @@ def fused_pallas(attrs, uv_rows_t, pairs: PairList, camera, chunk: int,
 
     Returns (tiles_out (T, PIX, F), t_final (T, PIX), mlist (T, PIX, M, 4)).
     """
+    assert m % 2 == 0, "fused M-list slot groups are 2 wide (8 f32 rows)"
     gy, gx = grid_shape(camera.height if height is None else height,
                         camera.width)
     n_tiles = gy * gx

@@ -419,10 +419,11 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
 
     if backend == "auto":
         # on TPU the dense oracle's compile is pathological (minutes through
-        # remote compile); the Pallas kernels are the production path there
-        # (and the trainer's textile texture controller only engages for
-        # pallas/fused — auto='scan' would silently fall to per-tap XLA)
-        backend = ("pallas" if jax.default_backend() == "tpu"
+        # remote compile); the FUSED kernel is the production path there —
+        # measured 326 ms vs 1468 ms fwd+bwd for the two-kernel pallas path
+        # at 100k G / 800x608 / m=32 (scratch/r3_stage3_timing.py, v5e) —
+        # and the trainer's textile texture controller engages for both
+        backend = ("fused" if jax.default_backend() == "tpu"
                    else ("reference" if xyz.shape[0] <= 4096 else "scan"))
     if backend == "reference":
         assert row_offset is None, "band rendering needs a tiled backend"

@@ -68,6 +68,69 @@ def apply_uv_net(params: dict, cfg: Cfg, xyz: jnp.ndarray,
     return out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-12)
 
 
+def apply_uv_net_with_jac(params: dict, cfg: Cfg, xyz: jnp.ndarray,
+                          geo_emb: jnp.ndarray):
+    """One pass -> (uvs (N, 3), duv/dxyz (N, 3, 3)).
+
+    Hand-rolled forward-mode through the MLP chain, replacing
+    ``jax.linearize`` + 3 basis pushes: the linearize JVP graph SIGILLs
+    the TPU compiler's fusion cost model at production scale
+    (TpuPriorityFusionQueue::NormalizedComputationCost, NOTES.md round 3),
+    and the explicit tangent matmuls below are the same math with plain
+    dots.  Semantics match ``_uvs_and_jac``'s linearize exactly:
+
+      * ``uvs`` comes from the shared primal pass and stays differentiable
+        in ``params``/``geo_emb``;
+      * the jacobian path sees stop-gradient weights and masks, so no
+        cotangent flows through it (callers stop-grad the result anyway);
+      * ReLU tangent mask is ``h > 0`` (JAX's relu JVP convention).
+
+    MLP-only (the reference's UVNet config has no hash grid,
+    /root/reference/configs/texture_gaussian3d.yaml uv_net_cfg)."""
+    assert not cfg.pre_mlp_cfg.hash_grid_cfg, \
+        "hand-rolled UV jacobian supports the MLP-only UVNet"
+    sg = jax.lax.stop_gradient
+    n_pts = xyz.shape[0]
+    x = xyz
+    T = jnp.broadcast_to(jnp.eye(3, dtype=xyz.dtype)[:, None, :],
+                         (3, n_pts, 3))             # (tangent j, N, in)
+    if cfg.xyz_offset and cfg.xyz_scale:
+        scale = jnp.asarray(cfg.xyz_scale)
+        x = (x - jnp.asarray(cfg.xyz_offset)) / scale
+        T = T / scale
+
+    def mlp_fwd(p, h, Th):
+        n = len(p["w"])
+        for i, (w, b) in enumerate(zip(p["w"], p["b"])):
+            h = h @ w + b
+            Th = Th @ sg(w)
+            if i < n - 1:
+                m = sg(h > 0).astype(h.dtype)
+                h = jax.nn.relu(h)
+                Th = Th * m[None]
+        return h, Th
+
+    h, T = mlp_fwd(params["pre_mlp"], x, T)
+    pre = h + geo_emb[None, :]
+    m = sg(pre > 0).astype(h.dtype)
+    h = jax.nn.relu(pre)
+    T = T * m[None]
+    o, To = mlp_fwd(params["mlp"], h, T)
+
+    norm = jnp.linalg.norm(o, axis=-1, keepdims=True)
+    denom = norm + 1e-12
+    uvs = o / denom
+    o_sg = sg(o)
+    n_sg = sg(norm)
+    d_sg = n_sg + 1e-12
+    # d(o / (|o| + eps)) t = t/denom - o (o.t) / (|o| denom^2)
+    ot = jnp.sum(o_sg[None] * To, axis=-1, keepdims=True)
+    Tuv = (To / d_sg[None]
+           - o_sg[None] * ot / (jnp.maximum(n_sg, 1e-12) * d_sg * d_sg)[None])
+    jac = jnp.moveaxis(Tuv, 0, -1)                  # (N, out 3, in 3)
+    return uvs, sg(jac)
+
+
 def init_inv_uv_net(key, cfg: Cfg) -> dict:
     k1, k2, k3 = jax.random.split(key, 3)
     emb = int(cfg.emb_dim)

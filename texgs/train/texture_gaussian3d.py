@@ -33,7 +33,8 @@ from texgs.config import Cfg, in_range
 from texgs.core.camera import Camera
 from texgs.kernels.cubemap import cubemap_to_latlong
 from texgs.nets.uv_net import (apply_inv_uv_net, apply_uv_net,
-                               init_inv_uv_net, init_uv_net)
+                               apply_uv_net_with_jac, init_inv_uv_net,
+                               init_uv_net)
 from texgs.render.uv_tex_render import uv_tex_render
 from texgs.train import optim
 from texgs.train.pair_cap import PairCapController, TexMissController
@@ -220,28 +221,15 @@ class TextureGaussian3D:
                     shs=gp.get("shs"))
 
     def _uvs_and_jac(self, uv_params, xyz):
-        geo_emb = uv_params["geo_emb"]
-        uvs = apply_uv_net(uv_params["uv_net"], self.cfg.uv_net_cfg, xyz,
-                           geo_emb)
-        xyz_d = jax.lax.stop_gradient(xyz)
-        nets_d = jax.lax.stop_gradient(uv_params)
-
-        def f(p):
-            return apply_uv_net(nets_d["uv_net"], self.cfg.uv_net_cfg,
-                                p, nets_d["geo_emb"])
-
-        # duv/dxyz as 3 batched tangent pushes through ONE linearization:
-        # the net is row-wise in xyz, so a basis tangent broadcast over all
-        # points yields column j of every point's Jacobian at once
-        # (== vmap(jacfwd(single-point f))).  jax.linearize shares the
-        # primal pass (hash-grid cell indexing, MLP activations) across the
-        # 3 columns instead of re-running it per jvp.
-        _, f_lin = jax.linearize(f, xyz_d)
-        cols = []
-        for j in range(3):
-            t = jnp.zeros_like(xyz_d).at[:, j].set(1.0)
-            cols.append(f_lin(t))                         # (N, 3)
-        jac = jnp.stack(cols, axis=-1)                    # (N, 3, 3)
+        # duv/dxyz via the hand-rolled forward-mode pass (one shared
+        # primal, 3 explicit tangent columns).  This used to be
+        # jax.linearize + 3 basis pushes — mathematically identical — but
+        # the linearize JVP graph SIGILLs the TPU compiler's fusion cost
+        # model at production scale (NOTES.md round 3, bisected with
+        # scratch/r3_crash_bisect.py).
+        uvs, jac = apply_uv_net_with_jac(uv_params["uv_net"],
+                                         self.cfg.uv_net_cfg, xyz,
+                                         uv_params["geo_emb"])
         return uvs, jax.lax.stop_gradient(jac.reshape(-1, 9))
 
     # ------------------------------------------------------ jitted core
