@@ -12,7 +12,22 @@ in its README (qualitative "real-time" claim; no numeric tables exist —
 BASELINE.md), i.e. ~5.8M rays/s fwd+bwd.  BASELINE.json's target is >=2x
 that per chip (vs_baseline >= 2.0).
 
-Prints exactly one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also measures the FULL stage-3 train step (VERDICT r3 item 3) through the
+production TextureGaussian3D path (texgs.tools.bench_stage3): 100k G,
+800x600, m=32, 1024^2 cubemap, fused backend, all losses + 3 Adams.  Its
+vs_baseline denominator is an ESTIMATE documented here: the reference's
+stage-3 step runs two full CUDA rasterizations plus a torch-functorch
+jacfwd over the UV MLP per iteration — ~4 it/s (250 ms) on the 2080 Ti
+class is the charitable bound (its stage-1 runs ~12 it/s and stage 3
+does >3x the work); no published number exists.
+
+Each metric line carries the analytic utilization figures from
+texgs.tools.roofline (MFU vs v5e bf16 peak, VPU- and HBM-relative
+utilization, and which engine bounds the step analytically).
+
+Prints one JSON line per metric, the stage-1 HEADLINE metric LAST:
+{"metric", "value", "unit", "vs_baseline", ...utilization keys}.
+Set BENCH_SKIP_STAGE3=1 to skip the stage-3 measurement.
 """
 
 from __future__ import annotations
@@ -91,11 +106,41 @@ def _run_bench(backend):
     dt = (t_big - t_small) / (ITERS - n_small)
 
     rays_per_s = WIDTH * HEIGHT / dt
+    from texgs.tools.roofline import stage1_counts, summarize
+    util = summarize(stage1_counts(N_GAUSS, 5 * N_GAUSS, WIDTH, HEIGHT), dt)
     return {
         "metric": f"rays_per_s_fwd_bwd_{backend}",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        "mfu_pct": util["mfu_pct"],
+        "vpu_util_pct": util["vpu_util_pct"],
+        "hbm_util_pct": util["hbm_util_pct"],
+        "analytic_bound": util["bound"],
+    }
+
+
+def _run_bench_stage3():
+    """Full stage-3 train step (see module docstring for the baseline
+    estimate).  Separate metric line; never the headline."""
+    from texgs.tools.bench_stage3 import measure
+    from texgs.tools.roofline import stage3_counts, summarize
+
+    dt, aux = measure()
+    util = summarize(
+        stage3_counts(aux["n"], max(aux["n_pairs"], 1), aux["width"],
+                      aux["height"], tex_res=aux["tex_res"]), dt)
+    baseline_ms = 250.0  # ~4 it/s reference stage-3 estimate (docstring)
+    return {
+        "metric": "stage3_step_ms",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / (dt * 1e3), 3),
+        "mfu_pct": util["mfu_pct"],
+        "vpu_util_pct": util["vpu_util_pct"],
+        "hbm_util_pct": util["hbm_util_pct"],
+        "analytic_bound": util["bound"],
+        "n_pairs": aux["n_pairs"],
     }
 
 
@@ -111,6 +156,19 @@ def main():
     import traceback
 
     import jax
+
+    # stage-3 metric first (non-headline); failures degrade to a note on
+    # stderr so the headline line still prints
+    # (TPU only: the CPU scan backend at 100k G / 800x600 is not a
+    # meaningful or feasible stage-3 measurement)
+    if not os.environ.get("BENCH_SKIP_STAGE3") \
+            and jax.default_backend() == "tpu":
+        try:
+            print(json.dumps(_run_bench_stage3()), flush=True)
+        except Exception:  # noqa: BLE001
+            traceback.print_exc(file=sys.stderr)
+            print(json.dumps({"metric": "stage3_step_ms", "value": 0.0,
+                              "unit": "ms", "vs_baseline": 0.0}), flush=True)
 
     default = BACKEND or ("pallas" if jax.default_backend() == "tpu"
                           else "scan")

@@ -106,6 +106,51 @@ def _write_neilf(args, cams, gt_view, activated, pcd):
                         normals=np.zeros_like(np.asarray(pcd.points)))
 
 
+def _write_colmap(args, cams, gt_view, activated, pcd):
+    """COLMAP layout: sparse/0/{cameras,images,points3D}.bin + images/ —
+    everything texgs.data.readers.read_colmap_scene consumes (mirroring the
+    reference's primary DTU path, dataset_readers.py:65-190).  PINHOLE
+    model; the reader's llffhold=8 split assigns every 8th image (sorted by
+    name) to the test set when dataset_cfg.eval is on."""
+    import dataclasses as _dc
+    import math
+
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from texgs.data import colmap as cm
+    from texgs.utils.graphics import rotmat2qvec
+
+    sparse = os.path.join(args.out_dir, "sparse", "0")
+    img_dir = os.path.join(args.out_dir, "images")
+    os.makedirs(sparse, exist_ok=True)
+    os.makedirs(img_dir, exist_ok=True)
+
+    cameras, images = {}, {}
+    for i, cam in enumerate(cams):
+        out = gt_view(_dc.replace(cam, uid=0, image_name=""), *activated)
+        rgb = np.clip(np.asarray(out["render"]).transpose(1, 2, 0), 0, 1)
+        name = f"{i:06d}.png"
+        imageio.imwrite(os.path.join(img_dir, name),
+                        (rgb * 255).astype(np.uint8))
+
+        w2c = np.asarray(cam.world_view, np.float64).T  # row-vec -> standard
+        fx = cam.width / (2 * math.tan(cam.fovx / 2))
+        fy = cam.height / (2 * math.tan(cam.fovy / 2))
+        cameras[i + 1] = cm.ColmapCamera(
+            id=i + 1, model="PINHOLE", width=cam.width, height=cam.height,
+            params=np.array([fx, fy, cam.width / 2.0, cam.height / 2.0]))
+        images[i + 1] = cm.ColmapImage(
+            id=i + 1, qvec=rotmat2qvec(w2c[:3, :3]), tvec=w2c[:3, 3],
+            camera_id=i + 1, name=name)
+
+    cm.write_cameras_binary(os.path.join(sparse, "cameras.bin"), cameras)
+    cm.write_images_binary(os.path.join(sparse, "images.bin"), images)
+    rgbf = np.clip(np.asarray(pcd.colors), 0, 1) * 255
+    cm.write_points3d_binary(os.path.join(sparse, "points3D.bin"),
+                             np.asarray(pcd.points), rgbf)
+
+
 def main():
     parser = ArgumentParser()
     parser.add_argument("out_dir")
@@ -130,14 +175,16 @@ def main():
                              "(allclose-tested vs the oracle; required for "
                              "production shapes like 800x600 x 100k G)")
     parser.add_argument("--format", default="blender",
-                        choices=["blender", "neilf"],
+                        choices=["blender", "neilf", "colmap"],
                         help="on-disk layout: NeRF-synthetic transforms_*."
-                             "json or NeILF/DTU inputs/sfm_scene.json with "
+                             "json, NeILF/DTU inputs/sfm_scene.json with "
                              "depth .tiff / normal .pfm / pmask companions "
-                             "(reference dataset_readers.py:360-500).  The "
-                             "NeILF eval split is the fixed DTU indexes "
-                             "[6, 13, 30, 35], active when the out_dir "
-                             "name contains 'dtu'")
+                             "(reference dataset_readers.py:360-500), or "
+                             "COLMAP sparse/0 binaries + images/ "
+                             "(dataset_readers.py:65-190).  The NeILF eval "
+                             "split is the fixed DTU indexes [6, 13, 30, "
+                             "35], active when the out_dir name contains "
+                             "'dtu'; the COLMAP eval split is llffhold=8")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--init_ply", action="store_true",
                         help="also write the true point cloud as "
@@ -188,6 +235,10 @@ def main():
     if args.format == "neilf":
         _write_neilf(args, cams, gt_view, activated, pcd)
         print(f"wrote {total} views to {args.out_dir} (NeILF format)")
+        return
+    if args.format == "colmap":
+        _write_colmap(args, cams, gt_view, activated, pcd)
+        print(f"wrote {total} views to {args.out_dir} (COLMAP format)")
         return
 
     splits = {"train": cams[: args.views], "test": cams[args.views:]}

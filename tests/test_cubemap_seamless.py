@@ -78,8 +78,33 @@ def test_seam_continuity_and_accuracy():
     assert step_seam < 3 * step_f + 1e-3, (step_seam, step_f)
 
 
+def test_corner_exact_three_texel_average():
+    """A sample at the EXACT cube corner resolves to the mean of the 3
+    face-corner texels (nvdiffrast's seamless corner rule), with texture
+    gradient 1/3 on each of the 3 faces meeting at the corner."""
+    tex = _smooth_cubemap()
+    d = jnp.asarray([[1.0, 1.0, 1.0]]) / np.sqrt(3.0)
+
+    val, vjp = jax.vjp(lambda t: sample_cubemap(t, d, "bilinear"), tex)
+    (g,) = vjp(jnp.ones_like(val))
+    g = np.asarray(g)
+
+    # gradient w.r.t. one output channel touches exactly 3 texels...
+    g1 = np.asarray(jax.grad(
+        lambda t: sample_cubemap(t, d, "bilinear")[0, 0])(tex))[..., 0]
+    nz = np.argwhere(np.abs(g1) > 1e-9)
+    assert len(nz) == 3, nz
+    # ...one per face, weight 1/3 each
+    assert len(set(nz[:, 0])) == 3, nz
+    np.testing.assert_allclose(g1[np.abs(g1) > 1e-9], 1.0 / 3.0, rtol=1e-5)
+    # and the value is their mean
+    texels = np.asarray(tex)[nz[:, 0], nz[:, 1], nz[:, 2]]
+    np.testing.assert_allclose(np.asarray(val)[0], texels.mean(axis=0),
+                               rtol=1e-5)
+
+
 def test_corner_taps_finite_and_close():
-    """At cube corners (3-texel ambiguity) the majorant-face pick must stay
+    """At cube corners (3-texel ambiguity) the corner average must stay
     within the local texel spread of the smooth oracle."""
     tex = _smooth_cubemap()
     corner = jnp.asarray([1.0, 1.0, 1.0])

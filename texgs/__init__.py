@@ -31,4 +31,10 @@ import jax as _jax
 # 4473/5000 radii flipped vs f32 (scratch/r3_bisect.py, round 3).  Default
 # every library matmul to full f32; hot kernels that can tolerate bf16
 # opt back in explicitly (pallas_raster.BLEND_BF16).
-_jax.config.update("jax_default_matmul_precision", "highest")
+#
+# NOTE this is a process-global import side effect (documented in README
+# "Numerics"): it is only applied when the embedding process has not set a
+# matmul precision itself, so users can override it BEFORE importing texgs
+# (jax.config.update("jax_default_matmul_precision", ...)).
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")

@@ -10,8 +10,11 @@ Face convention (OpenGL cube-map order +x,-x,+y,-y,+z,-z):
   face 0 (+x): u = -z/|x|, v = -y/|x|      face 1 (-x): u =  z/|x|, v = -y/|x|
   face 2 (+y): u =  x/|y|, v =  z/|y|      face 3 (-y): u =  x/|y|, v = -z/|y|
   face 4 (+z): u =  x/|z|, v = -y/|z|      face 5 (-z): u = -x/|z|, v = -y/|z|
-Bilinear filtering with edge clamping (nvdiffrast's seamless cube-edge
-filtering is approximated by the clamp; divergence noted).
+Default 'bilinear' filtering is SEAMLESS: taps that cross a face edge are
+re-resolved through their 3D direction onto the adjacent face, and taps at
+the 8 cube corners average the 3 face-corner texels (nvdiffrast
+boundary_mode='cube' parity).  'bilinear_clamp' keeps the old edge-clamped
+behavior as the exact twin of the textile kernel's in-window tap math.
 """
 
 from __future__ import annotations
@@ -74,10 +77,10 @@ def sample_cubemap(texture: jnp.ndarray, dirs: jnp.ndarray,
                          are continuous across edges and texel gradients
                          flow between faces.  Interior taps resolve to the
                          identical texel as plain indexing.  At the 8 cube
-                         corners (both tap coords out of face) the
-                         majorant-axis rule picks the diagonal face's
-                         texel — a documented approximation of
-                         nvdiffrast's 3-texel corner average.
+                         corners (both tap coords out of face) the result
+                         is the AVERAGE of the 3 face-corner texels that
+                         meet at the corner — nvdiffrast's corner rule —
+                         so gradients reach all 3 faces.
       'bilinear_clamp' — 4 taps clamped at face edges (the old behavior;
                          kept as the exact twin of the textile kernel's
                          in-window clamped tap math for tests).
@@ -105,15 +108,13 @@ def sample_cubemap(texture: jnp.ndarray, dirs: jnp.ndarray,
             yi = jnp.clip(yi.astype(jnp.int32), 0, res - 1)
             return texture[face, yi, xi]
     else:
-        def tap(xi, yi):
-            # re-resolve the tap through its direction: texel centers map
+        def _reresolve(u_t, v_t):
+            # re-resolve a tap through its direction: texel centers map
             # to u_t = (xi + .5)/res*2 - 1 (|u_t| > 1 past the edge); the
             # majorant axis of the reconstructed direction then selects
             # the adjacent face, and the gnomonic re-projection lands on
             # the angular-nearest texel across the edge.  Interior taps
             # round-trip to exactly (face, yi, xi).
-            u_t = (xi + 0.5) / res * 2.0 - 1.0
-            v_t = (yi + 0.5) / res * 2.0 - 1.0
             d_t = face_uv_to_direction(face, u_t, v_t)
             f2, u2, v2 = direction_to_face_uv(d_t)
             x2 = jnp.clip(((u2 * 0.5 + 0.5) * res).astype(jnp.int32),
@@ -121,6 +122,35 @@ def sample_cubemap(texture: jnp.ndarray, dirs: jnp.ndarray,
             y2 = jnp.clip(((v2 * 0.5 + 0.5) * res).astype(jnp.int32),
                           0, res - 1)
             return texture[f2, y2, x2]
+
+        def tap(xi, yi):
+            u_t = (xi + 0.5) / res * 2.0 - 1.0
+            v_t = (yi + 0.5) / res * 2.0 - 1.0
+            out_u = jnp.abs(u_t) > 1.0
+            out_v = jnp.abs(v_t) > 1.0
+            uc = jnp.clip(u_t, -1.0 + 1.0 / res, 1.0 - 1.0 / res)
+            vc = jnp.clip(v_t, -1.0 + 1.0 / res, 1.0 - 1.0 / res)
+            # three candidate texels; for in-face taps all three resolve
+            # to the identical (face, yi, xi):
+            #   P crosses the u edge (v held in-face)
+            #   Q crosses the v edge (u held in-face)
+            #   R is the home face's clamped texel
+            P = _reresolve(u_t, vc)
+            Q = _reresolve(uc, v_t)
+            xi_c = jnp.clip(xi.astype(jnp.int32), 0, res - 1)
+            yi_c = jnp.clip(yi.astype(jnp.int32), 0, res - 1)
+            R = texture[face, yi_c, xi_c]
+            # cube CORNER (both coords out): only 3 texels exist around
+            # the corner — average them, matching nvdiffrast's seamless
+            # corner rule (/root/reference/models/uv_map_gaussian3d.py:259
+            # semantics); edge taps take the adjacent-face texel.
+            corner = (out_u & out_v)[..., None]
+            edge_u = out_u[..., None]
+            edge_v = out_v[..., None]
+            avg3 = (P + Q + R) / 3.0
+            return jnp.where(corner, avg3,
+                             jnp.where(edge_u, P,
+                                       jnp.where(edge_v, Q, R)))
 
     t00 = tap(x0, y0)
     t10 = tap(x0 + 1, y0)

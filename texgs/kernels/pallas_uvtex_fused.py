@@ -383,7 +383,10 @@ def fused_pallas(attrs, uv_rows_t, pairs: PairList, camera, chunk: int,
 
     Returns (tiles_out (T, PIX, F), t_final (T, PIX), mlist (T, PIX, M, 4)).
     """
-    assert m % 2 == 0, "fused M-list slot groups are 2 wide (8 f32 rows)"
+    # M-list slot groups are 2 wide (8 f32 rows): pad odd m up one slot and
+    # slice the list back down — the first m contributors are unchanged
+    m_req = m
+    m = m + (m % 2)
     gy, gx = grid_shape(camera.height if height is None else height,
                         camera.width)
     n_tiles = gy * gx
@@ -412,4 +415,5 @@ def fused_pallas(attrs, uv_rows_t, pairs: PairList, camera, chunk: int,
     tfin = jnp.where(visited[:, None], blend[:, n_f, :], 1.0)
     ml = jnp.where(visited[:, None, None], ml, 0.0)
     lists = ml[:, :4 * m, :].reshape(n_tiles, m, 4, PIX)
+    lists = lists[:, :m_req]
     return (jnp.swapaxes(out, 1, 2), tfin, lists.transpose(0, 3, 1, 2))

