@@ -54,6 +54,18 @@ class Camera:
     def tanfovy(self) -> float:
         return math.tan(self.fovy * 0.5)
 
+    def jit_view(self) -> "Camera":
+        """The camera with identity-only statics (uid=0, image_name='').
+
+        uid/image_name are static pytree aux data, so every distinct view
+        passed to a jitted function is a fresh trace — a 64-view dataset
+        retraces (and compile-cache-probes) the whole train step 64 times.
+        Neither field enters any computation: trainers normalize cameras
+        through this at every jit boundary so a stage compiles ONCE per
+        (resolution, capacity); callers keep the original for logging and
+        cache keys."""
+        return dataclasses.replace(self, uid=0, image_name="")
+
 
 def make_camera(R: np.ndarray, T: np.ndarray, fovx: float, fovy: float,
                 width: int, height: int,

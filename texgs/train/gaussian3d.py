@@ -260,6 +260,7 @@ class Gaussian3D:
         # overflow (pairs silently dropped) grow the cap and RE-RUN — the
         # step is functional, so the retry is exact (texgs.train.pair_cap).
         default_cap = max(4 * self.state.capacity, 1 << 14)
+        viewpoint = viewpoint.jit_view()   # one trace per capacity, not view
         for _attempt in range(4):
             result = self._train_step(
                 self.state, self.adam, self.stats, viewpoint,
@@ -385,7 +386,7 @@ class Gaussian3D:
     # ---------------------------------------------------------------- eval/io
     def visual_step(self, cur_iter: int, total_iter: int, viewpoint: Camera,
                     render_unused, scaling_modifier: float = 1.0):
-        out = self._render_view(self.state, viewpoint, self._bg,
+        out = self._render_view(self.state, viewpoint.jit_view(), self._bg,
                                 self.active_sh_degree,
                                 float(scaling_modifier))
         return dict(image=out["render"], depth=out["depth"],

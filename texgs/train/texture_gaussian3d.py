@@ -415,7 +415,8 @@ class TextureGaussian3D:
         for _attempt in range(8):
             result = self._train_step(
                 self.gauss_params, self.uv_params, self.tex_params,
-                self.adam_g, self.adam_uv, self.adam_tex, viewpoint, key,
+                self.adam_g, self.adam_uv, self.adam_tex,
+                viewpoint.jit_view(), key,
                 lrs, lambdas, apply_flags, flags, self.active_sh_degree,
                 n_inv, self._pair_caps.current(default_cap),
                 tex_backend, self._tex_miss.cap)
@@ -486,7 +487,8 @@ class TextureGaussian3D:
     def visual_step(self, cur_iter: int, total_iter: int, viewpoint: Camera,
                     render_unused):
         out, image_no_sh = self._render_eval(
-            self.gauss_params, self.uv_params, self.tex_params, viewpoint,
+            self.gauss_params, self.uv_params, self.tex_params,
+            viewpoint.jit_view(),
             self.active_sh_degree)
         envmap = self.sphere_map((512, 1024)).transpose(2, 0, 1)
         cubemap = np.asarray(self.cube_map()).transpose(2, 0, 1)

@@ -140,7 +140,7 @@ class UVMapGaussian3D:
         key = (camera.uid, camera.image_name)
         if key not in self._depth_alpha_cache:
             self._depth_alpha_cache[key] = self._render_depth_alpha(
-                self.gauss, camera)
+                self.gauss, camera.jit_view())
         return self._depth_alpha_cache[key]
 
     # ------------------------------------------------------ jitted core
@@ -245,7 +245,8 @@ class UVMapGaussian3D:
         n_points = int(self.cfg.get_or("max_inverse_points", 0))
         pcd = self.pcd if self.pcd is not None else jnp.zeros((1, 3))
         self.net_params, self.adam, loss, stats = self._train_step(
-            self.net_params, self.adam, pcd, depth, alpha, viewpoint, key,
+            self.net_params, self.adam, pcd, depth, alpha,
+            viewpoint.jit_view(), key,
             self._lrs(), lambdas, flags, n_points)
         return loss, stats, {}
 
@@ -274,7 +275,8 @@ class UVMapGaussian3D:
     def visual_step(self, cur_iter: int, total_iter: int, viewpoint: Camera,
                     render_unused):
         depth, alpha, norm, image = self.depth_alpha(viewpoint)
-        chess = self._chess_image(self.net_params, depth, alpha, viewpoint)
+        chess = self._chess_image(self.net_params, depth, alpha,
+                                  viewpoint.jit_view())
         return dict(image=image, chess_image=chess, depth=depth, norm=norm,
                     alpha=alpha)
 
