@@ -290,3 +290,53 @@ def test_uvtex_with_no_sh_grads_match_second_render():
         denom = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / denom, a / denom, atol=2e-4,
                                    err_msg=f"grad mismatch: {name}")
+
+
+def _run_m(state, cam, uvs, jac, shs, tex, m, m_tail, deg=0):
+    proj = proj_k.project_gaussians(
+        state.xyz, state.get_scaling(), state.get_rotation(),
+        state.get_opacity(), jnp.zeros_like(state.xyz),
+        cam.world_view, cam.full_proj, cam.camera_center,
+        cam.width, cam.height, cam.tanfovx, cam.tanfovy)
+    return rasterize_uvtex(proj, state.get_scaling(), state.get_rotation(),
+                           state.xyz, uvs, jac, tex, shs, deg, cam,
+                           jnp.zeros(3), backend="scan", chunk=64, m=m,
+                           tex_backend="xla", m_tail=m_tail)
+
+
+def test_m_tail_correction_shrinks_truncation_error():
+    """uvtex_m_tail: the residual-transmittance tail term (weight known
+    exactly from the blend pass, UV proxied by the deepest captured slot)
+    must move a truncated render strictly toward the exact one on a
+    depth-complex scene — and must be a no-op when m is not truncating."""
+    state, cam, uvs, jac, shs, tex = _scene(n=400, opacity=2.0)
+    exact = np.asarray(_run_m(state, cam, uvs, jac, shs, tex, 96,
+                              False).image)
+    for m in (4, 8, 16):
+        plain = np.asarray(_run_m(state, cam, uvs, jac, shs, tex, m,
+                                  False).image)
+        tail = np.asarray(_run_m(state, cam, uvs, jac, shs, tex, m,
+                                 True).image)
+        err_plain = np.abs(plain - exact).mean()
+        err_tail = np.abs(tail - exact).mean()
+        assert err_plain > 1e-5, "scene not depth-complex enough to test"
+        assert err_tail < 0.6 * err_plain, (m, err_tail, err_plain)
+
+    # m large enough: tail weight ~0, correction a near-no-op
+    un96 = np.asarray(_run_m(state, cam, uvs, jac, shs, tex, 96,
+                             True).image)
+    np.testing.assert_allclose(un96, exact, atol=5e-4)
+
+
+def test_m_tail_grads_flow_to_texture():
+    state, cam, uvs, jac, shs, tex = _scene(n=256, size=32, opacity=2.0)
+
+    def loss(t, m_tail):
+        out = _run_m(state, cam, uvs, jac, shs, t, 4, m_tail)
+        return (out.image ** 2).sum()
+
+    g_plain = np.asarray(jax.grad(lambda t: loss(t, False))(tex))
+    g_tail = np.asarray(jax.grad(lambda t: loss(t, True))(tex))
+    assert np.isfinite(g_tail).all()
+    # the tail term adds texture gradient mass beyond the truncated slots
+    assert np.abs(g_tail).sum() > np.abs(g_plain).sum()

@@ -343,6 +343,45 @@ def build_uv_rows(tables: UVTexTables, pairs: PairList) -> jnp.ndarray:
     return gather_rows(full, g)
 
 
+def tail_tex_term(mlist: jnp.ndarray, t_final: jnp.ndarray,
+                  texture: jnp.ndarray, height: int, width: int,
+                  filter_mode: str = "bilinear") -> jnp.ndarray:
+    """Residual-transmittance tail correction for m-truncated lists.
+
+    The exact texture term composites EVERY surviving contributor to the
+    T < 1e-4 stop (/root/reference/render/uv_tex_render.py:56-66); the
+    M-list keeps only the first ``m``.  The dropped tail's total blend
+    weight is known exactly from the blend pass — sum_i w_i telescopes to
+    1 - T_final, so  w_tail = (1 - T_final) - sum_slots w  — and its UVs
+    are approximated by the DEEPEST captured slot's UV (contributors
+    behind slot m-1 lie under it on the surface, so their UVs cluster
+    around it).  This turns the truncation error from
+    O(w_tail * |tex|) into O(w_tail * local tex variation).
+
+    Returns the (3, H, W) additive term (already C0-scaled).  Zero wherever
+    no slot filled (nothing to anchor the proxy UV) or w_tail <= 0.
+    """
+    gy, gx = grid_shape(height, width)
+    t, pix, m, _ = mlist.shape
+    w = mlist[..., 0]                                    # (T, PIX, M)
+    live = w > 0.0
+    count = live.sum(axis=-1)                            # (T, PIX) int
+    last = jnp.clip(count - 1, 0, m - 1)
+    uv_last = jnp.take_along_axis(
+        mlist[..., 1:4], last[..., None, None], axis=2)[:, :, 0]  # (T,PIX,3)
+    w_tail = jnp.maximum((1.0 - t_final) - w.sum(axis=-1), 0.0)
+    w_tail = jnp.where(count > 0, w_tail, 0.0)
+    # anchor the proxy through stop_gradient: the tail is an approximation;
+    # its cotangent must not steer the captured slots' UVs
+    uv_last = jax.lax.stop_gradient(uv_last)
+    tex = sample_cubemap(texture, uv_last.reshape(-1, 3),
+                         filter_mode).reshape(t, pix, 3)
+    term = C0 * w_tail[..., None] * tex                  # (T, PIX, 3)
+    img = term.reshape(gy, gx, TILE, TILE, 3)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(3, gy * TILE, gx * TILE)
+    return img[:, :height, :width]
+
+
 def mlist_tex_term(mlist: jnp.ndarray, texture: jnp.ndarray,
                    height: int, width: int,
                    filter_mode: str = "bilinear") -> jnp.ndarray:
@@ -391,7 +430,8 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
                     tex_miss_cap: int = 4096,
                     row_offset=None,
                     band_height: Optional[int] = None,
-                    with_no_sh: bool = False) -> RasterOutput:
+                    with_no_sh: bool = False,
+                    m_tail: bool = False) -> RasterOutput:
     """Full UV-texture rasterization.
 
     proj must carry zero colors (the base SH residual is injected here).
@@ -506,6 +546,9 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
                                              filter_mode, tex_miss_cap)
     else:
         tex_img = mlist_tex_term(mlist, texture, height, width, filter_mode)
+    if m_tail:
+        tex_img = tex_img + tail_tex_term(mlist, t_final, texture, height,
+                                          width, filter_mode)
 
     return finish(RasterOutput(image=base.image + tex_img, depth=base.depth,
                                norm=base.norm, alpha=base.alpha,

@@ -39,7 +39,8 @@ def uv_tex_render(viewpoint_camera: Camera, *,
                   normalize_depth: bool = True,
                   row_offset=None,
                   band_height: Optional[int] = None,
-                  with_no_sh: bool = False) -> dict:
+                  with_no_sh: bool = False,
+                  m_tail: bool = False) -> dict:
     """Render one view with per-intersection UV-mapped cubemap appearance.
 
     uvs: (N, 3) unit sphere points (UV centers); grad_uvs: (N, 9) flattened
@@ -72,7 +73,7 @@ def uv_tex_render(viewpoint_camera: Camera, *,
         normalize_depth=normalize_depth, backend=backend,
         tex_backend=tex_backend, tex_miss_cap=tex_miss_cap,
         row_offset=row_offset,
-        band_height=band_height, with_no_sh=with_no_sh)
+        band_height=band_height, with_no_sh=with_no_sh, m_tail=m_tail)
 
     return {
         "render": out.image,

@@ -287,7 +287,8 @@ class TextureGaussian3D:
                 tex_backend=(tex_backend if tex_backend is not None
                              else self.cfg.get_or("tex_backend", "auto")),
                 tex_miss_cap=tex_miss_cap,
-                pair_cap=pair_cap, with_no_sh=use_no_sh)
+                pair_cap=pair_cap, with_no_sh=use_no_sh,
+                m_tail=bool(self.cfg.get_or("uvtex_m_tail", False)))
             image_ns = out["render_no_sh"] if use_no_sh else None
             loss, stats = stage3_loss_terms(
                 out["render"], out["depth"], out["norm"], out["alpha"],
@@ -481,7 +482,8 @@ class TextureGaussian3D:
             filter_mode=self.cfg.tex_cfg.get_or("filter_mode", "bilinear"),
             backend=self.cfg.get_or("backend", "auto"),
             tex_backend=self.cfg.get_or("tex_backend", "auto"),
-            with_no_sh=True)
+            with_no_sh=True,
+            m_tail=bool(self.cfg.get_or("uvtex_m_tail", False)))
         return out, out["render_no_sh"]
 
     def visual_step(self, cur_iter: int, total_iter: int, viewpoint: Camera,
