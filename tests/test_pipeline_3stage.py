@@ -182,27 +182,48 @@ def stage3(stage1, stage2, workdir, disk_scene):
     cfg.train_cfg.ckpt_iters = [60]
     cfg.train_cfg.min_scale_reset_interval = 0
     cfg.optim_cfg.gaussian_optim_range = [30, None]
+    # 60 CPU-affordable iters at the reference tex_lr=0.0025 move texels
+    # by ~0.15 SH0 units (~+1 dB) — not enough signal to gate on.  The
+    # tiny test is a plumbing + learning-direction gate, so it runs a
+    # proportionally larger texture step; production schedules keep the
+    # reference LR (configs/prod_texture.yaml, 10k iters).
+    cfg.optim_cfg.tex_lr = 0.02
     cfg.loss_cfg.rgb_no_sh_range = [30, None]
     cfg.loss_cfg.alpha_range = [30, None]
     cfg.loss_cfg.norm_smooth_range = [30, None]
     cfg.loss_cfg.inverse_range = [30, None]
     log = get_logger("texgs-test")
+    # untrained (zero-texture) eval on the same scene: the relational
+    # floor for test_stage3_learns_texture (VERDICT r3 item 5 — a broken-
+    # but-stable texture stage must not pass just by being stable)
+    from texgs.train.driver import visualize
+    from texgs.train.models import create_model
+    m0 = create_model(cfg.model_cfg, log, cfg.work_dir, False)
+    m0.bind_train_cfg(cfg.train_cfg, cfg.dataset_cfg.background)
+    m0.initialize(scene.scene_info.point_cloud, scene.cameras_extent)
+    m0.setup_optim(cfg.optim_cfg)
+    ev0 = visualize(None, 0, 60, m0, scene, log)
+    del m0
     model, scene3, ev = train(cfg, log, None, scene=scene, progress=False)
     ckpt_path = os.path.join(cfg.work_dir, "checkpoints", "60")
-    return cfg, model, ckpt_path, ev, scene
+    return cfg, model, ckpt_path, ev, scene, ev0
 
 
 def test_stage3_learns_texture(stage3):
-    cfg, model, ckpt_path, ev, scene = stage3
+    cfg, model, ckpt_path, ev, scene, ev0 = stage3
     assert os.path.exists(ckpt_path + ".npz")
     tex = np.asarray(model.tex_params["texture"])
     assert np.abs(tex).max() > 1e-3, "texture never received gradient"
     assert ev is not None and np.isfinite(ev["test"]["psnr"])
     assert ev["test"]["psnr"] > 10.0
+    # relational: training must BEAT the untrained zero-texture model by a
+    # clear margin on held-out views (margin re-checked when goldens move;
+    # production convergence is gated by goldens/pipeline_prod.json)
+    assert ev["test"]["psnr"] >= ev0["test"]["psnr"] + 2.0, (ev, ev0)
 
 
 def test_stage3_tools(stage3, workdir):
-    cfg, model, ckpt_path, _, scene = stage3
+    cfg, model, ckpt_path, _, scene, _ = stage3
     from texgs.tools.extract_texture import extract_texture
     out_png = os.path.join(workdir, "texture.png")
     cube = extract_texture(cfg, ckpt_path, out_png)
@@ -231,7 +252,7 @@ def test_stage3_tools(stage3, workdir):
 
 
 def test_retexture_tool(stage3, workdir):
-    cfg, model, ckpt_path, _, scene = stage3
+    cfg, model, ckpt_path, _, scene, _ = stage3
     from texgs.tools.retexture import retexture
     out_dir = os.path.join(workdir, "retex")
     import imageio
@@ -260,7 +281,7 @@ def test_golden_metrics(stage1, stage3):
     TEXGS_WRITE_GOLDENS=1 pytest tests/test_pipeline_3stage.py -k golden
     and commit the refreshed json."""
     _, _, _, ev1 = stage1
-    _, _, _, ev3, _ = stage3
+    _, _, _, ev3, _, _ = stage3
     if os.environ.get("TEXGS_WRITE_GOLDENS"):
         with open(GOLDEN_PATH) as f:
             golden = json.load(f)

@@ -384,14 +384,33 @@ def tail_tex_term(mlist: jnp.ndarray, t_final: jnp.ndarray,
 
 def mlist_tex_term(mlist: jnp.ndarray, texture: jnp.ndarray,
                    height: int, width: int,
-                   filter_mode: str = "bilinear") -> jnp.ndarray:
-    """(T, PIX, M, 4) lists -> (3, H, W) texture color term (SH0 * C0)."""
+                   filter_mode: str = "bilinear",
+                   tile_block: int = 128) -> jnp.ndarray:
+    """(T, PIX, M, 4) lists -> (3, H, W) texture color term (SH0 * C0).
+
+    Memory-bounded: the naive full-lattice formulation keeps ~12 bilinear
+    intermediates of shape (3, T, PIX, M) alive for the backward — 8.5 GB
+    at production scale (1900 tiles, m=32), which OOM'd the 16 GB chip
+    when the TexMissController fell back to this exact path (round 4).
+    Tiles are processed in ``tile_block`` chunks under lax.map with
+    jax.checkpoint, so peak temp memory is one block's worth and the
+    backward re-gathers instead of saving lerp products.  Values and
+    gradients are unchanged (same math, block-partitioned)."""
     gy, gx = grid_shape(height, width)
     t, pix, m, _ = mlist.shape
-    w = mlist[..., 0]
-    uv = mlist[..., 1:4].reshape(-1, 3)
-    tex = sample_cubemap(texture, uv, filter_mode).reshape(t, pix, m, 3)
-    term = C0 * (w[..., None] * tex).sum(axis=2)        # (T, PIX, 3)
+    nb = -(-t // tile_block)
+    ml = jnp.pad(mlist, ((0, nb * tile_block - t), (0, 0), (0, 0), (0, 0)))
+
+    def body(ml_blk):                    # (B, PIX, M, 4) -> (B, PIX, 3)
+        w = ml_blk[..., 0]
+        uv = ml_blk[..., 1:4].reshape(-1, 3)
+        tex = sample_cubemap(texture, uv, filter_mode).reshape(
+            ml_blk.shape[0], pix, m, 3)
+        return C0 * (w[..., None] * tex).sum(axis=2)
+
+    term = jax.lax.map(jax.checkpoint(body),
+                       ml.reshape(nb, tile_block, pix, m, 4))
+    term = term.reshape(nb * tile_block, pix, 3)[:t]     # (T, PIX, 3)
     img = term.reshape(gy, gx, TILE, TILE, 3)
     img = img.transpose(4, 0, 2, 1, 3).reshape(3, gy * TILE, gx * TILE)
     return img[:, :height, :width]

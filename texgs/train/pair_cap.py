@@ -94,8 +94,13 @@ class TexMissController:
     production regime snaps back to the fast path as the UV map trains.
     """
 
-    def __init__(self, floor: int = 4096, max_cap: int = 1 << 17,
+    def __init__(self, floor: int = 4096, max_cap: int = 1 << 19,
                  park_after: int = 4, probe_interval: int = 250, log=None):
+        # max_cap 2^19: the correction's cost is K gathers + two small
+        # nonzeros (~10 ms at 512k), FAR cheaper than a whole-frame XLA
+        # fallback step (~11 s measured r2) — park only when the UV map is
+        # so incoherent that >512k of ~15M requests miss (early stage 3
+        # under --quick schedules; production UV maps miss ~0.5%)
         self.cap = floor
         self.floor = floor
         self.max_cap = max_cap
