@@ -267,7 +267,12 @@ class Gaussian3D:
                 self._lrs(cur_iter), lambdas, apply_adam, flags,
                 self.active_sh_degree,
                 self._pair_caps.current(default_cap), self.backend)
-            stats_d = result[4]
+            # ONE device->host transfer for every per-step scalar: each
+            # individual int()/bool()/float() read is a full round trip
+            # through the remote-device tunnel (~100s of ms), and the
+            # controller + driver + TB consume ~a dozen scalars per step —
+            # measured to dominate the step wall-clock (round 4)
+            stats_d = jax.device_get(result[4])
             if "pair_overflow" not in stats_d:
                 break
             n_pairs = int(stats_d["n_pairs"])
@@ -275,8 +280,8 @@ class Gaussian3D:
                 self._pair_caps.observe(n_pairs, default_cap)
                 break
             self._pair_caps.grow(n_pairs, default_cap)
-        self.state, self.adam, self.stats, loss, stats_d = result
-        return loss, stats_d, {}
+        self.state, self.adam, self.stats, loss, _ = result
+        return stats_d["total_loss"], stats_d, {}
 
     # Surgery schedule helpers --------------------------------------------
     _train_cfg: Optional[Cfg] = None

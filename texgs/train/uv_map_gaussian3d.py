@@ -248,7 +248,10 @@ class UVMapGaussian3D:
             self.net_params, self.adam, pcd, depth, alpha,
             viewpoint.jit_view(), key,
             self._lrs(), lambdas, flags, n_points)
-        return loss, stats, {}
+        # one device->host transfer for all per-step scalars (driver + TB
+        # would otherwise pay one tunnel round trip per float read)
+        stats = jax.device_get(stats)
+        return stats["total_loss"], stats, {}
 
     def optimize_step(self, cur_iter: int, total_iter: int, train_cfg: Cfg,
                       extra_info: dict):
