@@ -168,6 +168,12 @@ def train(cfg: Cfg, log, tb_writer=None, scene=None, model=None,
         visual_iters = cfg.train_cfg.get_or("visual_iters", [])
         ckpt_iters = cfg.train_cfg.get_or("ckpt_iters", [])
 
+        # models with deferred step validation (see Gaussian3D.flush) must
+        # settle the in-flight step before state-dependent host work
+        if (iteration in visual_iters or iteration in ckpt_iters) \
+                and hasattr(model, "flush"):
+            model.flush()
+
         if iteration in visual_iters and not debug:
             if hasattr(model, "save_point_cloud"):
                 os.makedirs(os.path.join(cfg.work_dir, "pcds"), exist_ok=True)
@@ -187,4 +193,6 @@ def train(cfg: Cfg, log, tb_writer=None, scene=None, model=None,
 
         model.optimize_step(iteration, end_iteration, cfg.train_cfg, extra)
 
+    if hasattr(model, "flush"):
+        model.flush()
     return model, scene, last_eval

@@ -256,32 +256,84 @@ class Gaussian3D:
         }
         apply_adam = jnp.asarray(not self._surgery_planned(cur_iter))
 
-        # Pair-cap feedback loop: a static cap sizes every pair array; on
-        # overflow (pairs silently dropped) grow the cap and RE-RUN — the
-        # step is functional, so the retry is exact (texgs.train.pair_cap).
+        # Pair-cap feedback loop with DEFERRED validation: a static cap
+        # sizes every pair array; on overflow (pairs silently dropped) the
+        # step is rolled back, the cap grown, and the step re-run — exact,
+        # because the step is functional (texgs.train.pair_cap).
+        #
+        # Wall-clock shape (round-4 tunnel tax, NOTES.md): every host read
+        # of a device scalar is a tunnel round trip (~0.2 s), so (a) all
+        # per-step scalars travel in ONE jax.device_get, and (b) that read
+        # is DEFERRED one step — step k dispatches on step k-1's (still
+        # unvalidated) outputs, then k-1's stats are read while k executes.
+        # On the rare overflow, k-1 is rolled back + re-run synchronously
+        # and the speculative k is re-dispatched.  The driver therefore
+        # sees step k-1's loss/stats at iteration k (display-only lag);
+        # flush() forces validation before surgery/eval/checkpoint.
         default_cap = max(4 * self.state.capacity, 1 << 14)
         viewpoint = viewpoint.jit_view()   # one trace per capacity, not view
+        lrs = self._lrs(cur_iter)
+
+        def run(cap):
+            return self._train_step(
+                self.state, self.adam, self.stats, viewpoint, lrs, lambdas,
+                apply_adam, flags, self.active_sh_degree, cap, self.backend)
+
+        prev = (self.state, self.adam, self.stats)
+        result = run(self._pair_caps.current(default_cap))
+        self.state, self.adam, self.stats = result[:3]
+        lagged = self._validate_pending()
+        if self._rolled_back:
+            # the speculative dispatch above used rolled-back params
+            self._rolled_back = False
+            prev = (self.state, self.adam, self.stats)
+            result = run(self._pair_caps.current(default_cap))
+            self.state, self.adam, self.stats = result[:3]
+        self._pending = dict(stats=result[4], prev=prev, run=run,
+                             default_cap=default_cap)
+        if lagged is None:
+            # nothing was pending (first step, or a flush consumed it):
+            # reuse the last validated stats for display; only the very
+            # first step of a run must validate synchronously
+            lagged = self._last_stats if self._last_stats is not None \
+                else self.flush()
+        self._last_stats = lagged
+        return lagged["total_loss"], lagged, {}
+
+    _pending = None
+    _rolled_back = False
+    _last_stats = None
+
+    def _validate_pending(self):
+        """device_get + pair-cap control for the in-flight step; on
+        overflow rolls back to the pre-step snapshot and re-runs with the
+        grown cap until clean.  Returns the step's host stats (or None if
+        nothing was pending)."""
+        p, self._pending = self._pending, None
+        if p is None:
+            return None
+        stats_d = jax.device_get(p["stats"])
         for _attempt in range(4):
-            result = self._train_step(
-                self.state, self.adam, self.stats, viewpoint,
-                self._lrs(cur_iter), lambdas, apply_adam, flags,
-                self.active_sh_degree,
-                self._pair_caps.current(default_cap), self.backend)
-            # ONE device->host transfer for every per-step scalar: each
-            # individual int()/bool()/float() read is a full round trip
-            # through the remote-device tunnel (~100s of ms), and the
-            # controller + driver + TB consume ~a dozen scalars per step —
-            # measured to dominate the step wall-clock (round 4)
-            stats_d = jax.device_get(result[4])
             if "pair_overflow" not in stats_d:
-                break
+                return stats_d
             n_pairs = int(stats_d["n_pairs"])
             if not bool(stats_d["pair_overflow"]):
-                self._pair_caps.observe(n_pairs, default_cap)
-                break
-            self._pair_caps.grow(n_pairs, default_cap)
-        self.state, self.adam, self.stats, loss, _ = result
-        return stats_d["total_loss"], stats_d, {}
+                self._pair_caps.observe(n_pairs, p["default_cap"])
+                return stats_d
+            self._pair_caps.grow(n_pairs, p["default_cap"])
+            self.state, self.adam, self.stats = p["prev"]
+            self._rolled_back = True
+            result = p["run"](self._pair_caps.current(p["default_cap"]))
+            self.state, self.adam, self.stats = result[:3]
+            stats_d = jax.device_get(result[4])
+        return stats_d
+
+    def flush(self):
+        """Validate any in-flight step (driver calls this before eval /
+        checkpoint; optimize_step before densify surgery)."""
+        st = self._validate_pending()
+        self._rolled_back = False
+        return st
 
     # Surgery schedule helpers --------------------------------------------
     _train_cfg: Optional[Cfg] = None
@@ -336,6 +388,16 @@ class Gaussian3D:
         step already happened inside _train_step unless surgery was planned."""
         tc = train_cfg
         oc = self.optim_cfg
+
+        # surgery mutates state: validate the in-flight step first so a
+        # late rollback can never clobber it (deferred validation)
+        if self._pending is not None:
+            ivals = (tc.opacity_prune_interval, tc.densification_interval,
+                     tc.opacity_reset_interval, tc.min_scale_reset_interval)
+            if (any(i and cur_iter % int(i) == 0 for i in ivals)
+                    or (tc.opacity_prune_iters
+                        and cur_iter in tc.opacity_prune_iters)):
+                self.flush()
 
         def opacity_prune_due():
             if tc.opacity_prune_interval and cur_iter % tc.opacity_prune_interval == 0:

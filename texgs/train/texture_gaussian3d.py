@@ -413,35 +413,99 @@ class TextureGaussian3D:
         use_textile = resolved_tb == "textile"
         tex_backend = (self._tex_miss.backend_for_step() if use_textile
                        else None)
-        for _attempt in range(8):
-            result = self._train_step(
+        viewpoint = viewpoint.jit_view()
+
+        def run(cap, tb, miss_cap):
+            return self._train_step(
                 self.gauss_params, self.uv_params, self.tex_params,
-                self.adam_g, self.adam_uv, self.adam_tex,
-                viewpoint.jit_view(), key,
+                self.adam_g, self.adam_uv, self.adam_tex, viewpoint, key,
                 lrs, lambdas, apply_flags, flags, self.active_sh_degree,
-                n_inv, self._pair_caps.current(default_cap),
-                tex_backend, self._tex_miss.cap)
-            # ONE device->host transfer for every per-step scalar: the
-            # controller + driver + TB consume ~a dozen scalars per step,
-            # and each individual int()/bool()/float() is a full tunnel
-            # round trip — measured to dominate step wall-clock (round 4)
-            stats = jax.device_get(result[7])
-            if "pair_overflow" in stats and bool(stats["pair_overflow"]):
-                self._pair_caps.grow(int(stats["n_pairs"]), default_cap)
-                continue
-            if "n_pairs" in stats:
-                self._pair_caps.observe(int(stats["n_pairs"]), default_cap)
-            tex_miss = stats.get("tex_miss")
-            if tex_miss is not None and int(tex_miss) > 0:
-                tex_backend = self._tex_miss.on_overflow(int(tex_miss))
-                continue
-            if tex_backend == "textile":
-                self._tex_miss.on_textile_ok()
-            break
-        (self.gauss_params, self.uv_params, self.tex_params, self.adam_g,
-         self.adam_uv, self.adam_tex, loss, _) = result
+                n_inv, cap, tb, miss_cap)
+
+        def adopt(result):
+            (self.gauss_params, self.uv_params, self.tex_params,
+             self.adam_g, self.adam_uv, self.adam_tex) = result[:6]
+
+        # DEFERRED validation (see Gaussian3D.compute_loss): dispatch step
+        # k speculatively on step k-1's unvalidated outputs, then read
+        # k-1's stats in ONE device_get while k executes on-device; on the
+        # rare pair/texture-miss overflow k-1 is rolled back + re-run and
+        # the speculative k re-dispatched.  Driver sees a one-step stats
+        # lag; flush() settles before eval/checkpoint/min-scale-reset.
+        prev = self._snapshot()
+        result = run(self._pair_caps.current(default_cap), tex_backend,
+                     self._tex_miss.cap)
+        adopt(result)
+        lagged = self._validate_pending()
+        if self._rolled_back:
+            self._rolled_back = False
+            tex_backend = (self._tex_miss.backend_for_step() if use_textile
+                           else None)
+            prev = self._snapshot()
+            result = run(self._pair_caps.current(default_cap), tex_backend,
+                         self._tex_miss.cap)
+            adopt(result)
+        self._pending = dict(stats=result[7], prev=prev, run=run,
+                             adopt=adopt, default_cap=default_cap,
+                             tex_backend=tex_backend,
+                             use_textile=use_textile)
         self._eval_cache = None
-        return stats["total_loss"], stats, {}
+        if lagged is None:
+            # nothing was pending (first step, or a flush consumed it)
+            lagged = self._last_stats if self._last_stats is not None \
+                else self.flush()
+        self._last_stats = lagged
+        return lagged["total_loss"], lagged, {}
+
+    _pending = None
+    _rolled_back = False
+    _last_stats = None
+
+    def _snapshot(self):
+        return (self.gauss_params, self.uv_params, self.tex_params,
+                self.adam_g, self.adam_uv, self.adam_tex)
+
+    def _validate_pending(self):
+        """device_get + retry control for the in-flight step: pair-cap
+        growth and textile-miss cap/backend feedback, with rollback + sync
+        re-run on overflow (a step whose binning dropped pairs or whose
+        texture windows dropped taps never reaches the params)."""
+        p, self._pending = self._pending, None
+        if p is None:
+            return None
+        stats = jax.device_get(p["stats"])
+        tex_backend = p["tex_backend"]
+        for _attempt in range(8):
+            redo_cap = None
+            if "pair_overflow" in stats and bool(stats["pair_overflow"]):
+                self._pair_caps.grow(int(stats["n_pairs"]),
+                                     p["default_cap"])
+                redo_cap = True
+            else:
+                if "n_pairs" in stats:
+                    self._pair_caps.observe(int(stats["n_pairs"]),
+                                            p["default_cap"])
+                tex_miss = stats.get("tex_miss")
+                if tex_miss is not None and int(tex_miss) > 0:
+                    tex_backend = self._tex_miss.on_overflow(int(tex_miss))
+                    redo_cap = True
+            if redo_cap is None:
+                if tex_backend == "textile":
+                    self._tex_miss.on_textile_ok()
+                return stats
+            (self.gauss_params, self.uv_params, self.tex_params,
+             self.adam_g, self.adam_uv, self.adam_tex) = p["prev"]
+            self._rolled_back = True
+            result = p["run"](self._pair_caps.current(p["default_cap"]),
+                              tex_backend, self._tex_miss.cap)
+            p["adopt"](result)
+            stats = jax.device_get(result[7])
+        return stats
+
+    def flush(self):
+        st = self._validate_pending()
+        self._rolled_back = False
+        return st
 
     def optimize_step(self, cur_iter: int, total_iter: int, train_cfg: Cfg,
                       extra_info: dict):
@@ -451,6 +515,9 @@ class TextureGaussian3D:
             g_iter = cur_iter - self._gauss_range_start()
             if tc.min_scale_reset_interval and \
                     g_iter % int(tc.min_scale_reset_interval) == 0:
+                # reset mutates params: settle the in-flight step first so
+                # a late rollback can never clobber it
+                self.flush()
                 self._reset_min_scale()
             if g_iter % 2000 == 0 and self.active_sh_degree < self.max_sh_degree:
                 self.active_sh_degree += 1

@@ -248,10 +248,21 @@ class UVMapGaussian3D:
             self.net_params, self.adam, pcd, depth, alpha,
             viewpoint.jit_view(), key,
             self._lrs(), lambdas, flags, n_points)
-        # one device->host transfer for all per-step scalars (driver + TB
-        # would otherwise pay one tunnel round trip per float read)
-        stats = jax.device_get(stats)
+        # ONE deferred device->host transfer for all per-step scalars: the
+        # read of step k-1's stats overlaps step k's device execution (the
+        # tunnel tax, NOTES.md round 4).  Stage 2 has no retry control, so
+        # the lag is display-only.
+        pend, self._pending_stats = self._pending_stats, stats
+        stats = jax.device_get(pend if pend is not None else stats)
         return stats["total_loss"], stats, {}
+
+    _pending_stats = None
+
+    def flush(self):
+        if self._pending_stats is not None:
+            st, self._pending_stats = self._pending_stats, None
+            return jax.device_get(st)
+        return None
 
     def optimize_step(self, cur_iter: int, total_iter: int, train_cfg: Cfg,
                       extra_info: dict):
