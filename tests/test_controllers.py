@@ -60,3 +60,17 @@ def test_resolve_backends_cpu_rules():
     assert (b, tb) == ("pallas", "textile")
     # explicit choices pass through
     assert resolve_backends("fused", "xla", 10) == ("fused", "xla")
+
+
+def test_texmiss_cap_shrinks_when_calm():
+    c = TexMissController(floor=4096, max_cap=1 << 19, shrink_patience=3)
+    c.on_overflow(300000)           # grows to 2^19
+    assert c.cap == 524288
+    for _ in range(2):
+        c.on_textile_ok(n_miss_total=10000)
+    assert c.cap == 524288          # patience not yet reached
+    c.on_textile_ok(n_miss_total=10000)
+    assert c.cap == 65536           # 4x 10k -> pow2 = 65536
+    # a burst above a quarter of the cap resets the calm counter
+    c.on_textile_ok(n_miss_total=60000)
+    assert c.cap == 65536

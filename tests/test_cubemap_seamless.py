@@ -161,7 +161,7 @@ def test_textile_edge_requests_match_seamless_twin():
     tex = _smooth_cubemap(res)
 
     img_t = np.asarray(mlist_tex_term(mlist, tex, h, w))
-    img_f, miss = tex_term_textile(mlist, tex, h, w, miss_cap=8192)
+    img_f, miss, _ = tex_term_textile(mlist, tex, h, w, miss_cap=8192)
     assert int(miss) == 0
     # atol 1e-4: the correction accumulates in a different f32
     # order than the twin's in-place sum

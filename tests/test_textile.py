@@ -48,7 +48,7 @@ def test_textile_forward_matches_twin(filter_mode):
     mlist = _random_mlist()
     tex = _texture()
     want = mlist_tex_term(mlist, tex, H, W, filter_mode)
-    got, miss = tex_term_textile(mlist, tex, H, W, filter_mode)
+    got, miss, _ = tex_term_textile(mlist, tex, H, W, filter_mode)
     assert int(miss) == 0, "coherent scene must fit the windows"
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
@@ -67,7 +67,7 @@ def test_textile_vjp_matches_twin():
         return jnp.sum(mlist_tex_term(ml, tx, H, W) * cot)
 
     def f_fast(ml, tx):
-        img, _ = tex_term_textile(ml, tx, H, W)
+        img, _, _ = tex_term_textile(ml, tx, H, W)
         return jnp.sum(img * cot)
 
     g_ml_t, g_tex_t = jax.grad(f_twin, argnums=(0, 1))(mlist, tex)
@@ -91,7 +91,7 @@ def test_textile_reports_misses_on_incoherent_uvs():
     # miss_cap=0 disables the correction so raw misses surface.
     mlist = _random_mlist(seed=7, coherent=False)
     tex = _texture()
-    _, miss = tex_term_textile(mlist, tex, H, W, miss_cap=0)
+    _, miss, _ = tex_term_textile(mlist, tex, H, W, miss_cap=0)
     assert int(miss) > 0
 
 
@@ -114,7 +114,7 @@ def test_textile_miss_correction_exact():
     assert n_raw > 0, "rogue slots must miss the windows"
 
     want = mlist_tex_term(mlist, tex, H, W)
-    got, unserved = tex_term_textile(mlist, tex, H, W)
+    got, unserved, _ = tex_term_textile(mlist, tex, H, W)
     assert int(unserved) == 0
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
@@ -200,7 +200,7 @@ def test_textile_mip_serves_wide_footprints():
     prep = textile_prep(mlist, cfg)
     assert int(prep.n_miss) == 0, "wide footprint must be mip-served"
 
-    got, unserved = tex_term_textile(mlist, tex, H, W)
+    got, unserved, _ = tex_term_textile(mlist, tex, H, W)
     assert int(unserved) == 0
 
     # twin: bilinear sampling of the level the prep chose.  All requests

@@ -798,7 +798,11 @@ def miss_correction(mlist: jnp.ndarray, texture: jnp.ndarray,
     rq = 2 * m
     blk = 8 * 128
     n_blocks = t * rq * 128 // blk
-    kb = max(miss_cap // 32, 8)
+    # block fan-out: enough selected blocks for the worst packing of
+    # miss_cap misses, but never more than EXIST — past n_blocks the
+    # block level is degenerate and `sub` would materialize more bools
+    # than the whole lattice
+    kb = max(min(miss_cap // 32, n_blocks), 8)
     flat = jax.lax.stop_gradient(miss).reshape(n_blocks, blk)
     blk_any = flat.any(axis=1)
     (bids,) = jnp.nonzero(blk_any, size=kb, fill_value=n_blocks)
@@ -881,4 +885,4 @@ def tex_term_textile(mlist: jnp.ndarray, texture: jnp.ndarray,
         n_over = prep.n_miss - n_resolved
     else:
         n_over = prep.n_miss
-    return _tiles_to_image(vals, height, width), n_over
+    return _tiles_to_image(vals, height, width), n_over, prep.n_miss

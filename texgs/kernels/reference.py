@@ -51,6 +51,11 @@ class RasterOutput(NamedTuple):
     # windowed kernel could not serve this frame (frame fell back to the
     # exact XLA tap path when > 0).
     tex_miss: Optional[jnp.ndarray] = None    # () int32
+    # Raw window-miss count (served by the correction OR dropped): feeds
+    # the TexMissController's cap-shrink schedule — an oversized static
+    # miss cap makes the compacted correction's nonzero passes the
+    # dominant per-step cost.
+    tex_miss_total: Optional[jnp.ndarray] = None  # () int32
     # uvtex `with_no_sh=True` only: the texture-only image (what a second
     # rasterization at active_sh_degree=0 would produce), recovered from the
     # SAME blend pass: color = clamp(.5+SH_rest) + C0*tex is linear in the

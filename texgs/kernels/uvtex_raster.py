@@ -552,7 +552,7 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
             mlist = mlist_scan(attrs, uv_rows, pairs, camera, chunk, m,
                                height=height, row_offset=row_offset)
 
-    tex_miss = None
+    tex_miss = tex_miss_total = None
     if tex_backend == "textile":
         from texgs.kernels.pallas_textile import tex_term_textile
         # exactness contract: tex_miss counts requests the windows+bounded
@@ -561,8 +561,8 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
         # with a grown cap or tex_backend='xla': train.pair_cap.
         # TexMissController); an in-graph whole-frame fallback would bloat
         # the compiled step with a second ~5 s rasterization program.
-        tex_img, tex_miss = tex_term_textile(mlist, texture, height, width,
-                                             filter_mode, tex_miss_cap)
+        tex_img, tex_miss, tex_miss_total = tex_term_textile(
+            mlist, texture, height, width, filter_mode, tex_miss_cap)
     else:
         tex_img = mlist_tex_term(mlist, texture, height, width, filter_mode)
     if m_tail:
@@ -574,4 +574,5 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
                                extra=base.extra,
                                n_pairs=pairs.n_pairs,
                                overflowed=pairs.overflowed,
-                               tex_miss=tex_miss))
+                               tex_miss=tex_miss,
+                               tex_miss_total=tex_miss_total))

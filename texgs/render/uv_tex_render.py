@@ -88,4 +88,5 @@ def uv_tex_render(viewpoint_camera: Camera, *,
         "n_pairs": out.n_pairs,
         "pair_overflow": out.overflowed,
         "tex_miss": out.tex_miss,
+        "tex_miss_total": out.tex_miss_total,
     }

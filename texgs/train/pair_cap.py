@@ -94,13 +94,17 @@ class TexMissController:
     production regime snaps back to the fast path as the UV map trains.
     """
 
-    def __init__(self, floor: int = 4096, max_cap: int = 1 << 19,
-                 park_after: int = 4, probe_interval: int = 250, log=None):
-        # max_cap 2^19: the correction's cost is K gathers + two small
-        # nonzeros (~10 ms at 512k), FAR cheaper than a whole-frame XLA
-        # fallback step (~11 s measured r2) — park only when the UV map is
-        # so incoherent that >512k of ~15M requests miss (early stage 3
-        # under --quick schedules; production UV maps miss ~0.5%)
+    def __init__(self, floor: int = 4096, max_cap: int = 1 << 20,
+                 park_after: int = 4, probe_interval: int = 250,
+                 shrink_patience: int = 100, log=None):
+        # max_cap 2^20: the correction's cost is K gathers + compaction
+        # nonzeros — even at 1M it stays FAR cheaper than a whole-frame
+        # XLA fallback step (~11 s measured r2), and the full prod run
+        # showed early-stage-3 frames missing >524k of ~15M requests
+        # while the UV net is still warming up.  The shrink schedule
+        # (on_textile_ok) claws the per-step compaction cost back once
+        # the map turns coherent.  Park on xla only when the UV map is so
+        # incoherent that no cap helps.
         self.cap = floor
         self.floor = floor
         self.max_cap = max_cap
@@ -110,6 +114,8 @@ class TexMissController:
         self._fallbacks = 0
         self._parked = False
         self._steps_parked = 0
+        self.shrink_patience = shrink_patience
+        self._shrink_calm = 0
 
     def backend_for_step(self) -> str:
         """Backend for a fresh step (before any overflow report)."""
@@ -130,6 +136,7 @@ class TexMissController:
                     f"textile miss overflow: {n_dropped} dropped at cap "
                     f"{self.cap}; growing to {need} and re-running")
             self.cap = need
+            self._shrink_calm = 0
             return "textile"
         self._fallbacks += 1
         if not self._parked and self._fallbacks >= self.park_after:
@@ -142,8 +149,29 @@ class TexMissController:
                     f"{self.probe_interval} steps)")
         return "xla"
 
-    def on_textile_ok(self) -> None:
+    def on_textile_ok(self, n_miss_total=None) -> None:
         if self._parked and self.log:
             self.log.info("textile probe clean; resuming the fast path")
         self._parked = False
         self._fallbacks = 0
+        # cap SHRINK (round 4): the compacted correction's nonzero passes
+        # scale with the STATIC cap (kb = cap/32 blocks scanned every
+        # step), so an early-training growth to 2^19 taxes every later
+        # step (~1 s/step measured at 512k) even once the UV map is
+        # coherent and misses are tiny.  After shrink_patience calm steps
+        # whose raw miss count fits in a quarter of the cap, drop to 4x
+        # the observed count (recompile once, save every step after).
+        if n_miss_total is None or self.cap <= self.floor:
+            return
+        need = next_pow2(max(int(n_miss_total), 1) * 4, self.floor)
+        if need * 2 <= self.cap:
+            self._shrink_calm += 1
+            if self._shrink_calm >= self.shrink_patience:
+                if self.log:
+                    self.log.info(
+                        f"textile miss cap shrink: {self.cap} -> {need} "
+                        f"({int(n_miss_total)} raw misses)")
+                self.cap = need
+                self._shrink_calm = 0
+        else:
+            self._shrink_calm = 0

@@ -300,6 +300,7 @@ class TextureGaussian3D:
                 stats["pair_overflow"] = out["pair_overflow"]
             if out.get("tex_miss") is not None:
                 stats["tex_miss"] = out["tex_miss"]
+                stats["tex_miss_total"] = out["tex_miss_total"]
             return loss, stats
 
         (loss, stats), grads = jax.value_and_grad(
@@ -491,7 +492,8 @@ class TextureGaussian3D:
                     redo_cap = True
             if redo_cap is None:
                 if tex_backend == "textile":
-                    self._tex_miss.on_textile_ok()
+                    self._tex_miss.on_textile_ok(
+                        stats.get("tex_miss_total"))
                 return stats
             (self.gauss_params, self.uv_params, self.tex_params,
              self.adam_g, self.adam_uv, self.adam_tex) = p["prev"]
