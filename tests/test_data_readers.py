@@ -263,7 +263,7 @@ def test_stage2_depth_alpha_cache_keying():
     model.gauss = None
     calls = []
     model._render_depth_alpha = lambda gauss, cam: calls.append(cam) or \
-        (cam.image_name, None, None, None)
+        (len(calls), None, None, None)
 
     def cam(uid, name):
         return make_camera(R=np.eye(3), T=np.zeros(3), fovx=0.8, fovy=0.8,
@@ -271,10 +271,13 @@ def test_stage2_depth_alpha_cache_keying():
 
     a = cam(0, "train_0")
     b = cam(0, "test_0")
-    assert model.depth_alpha(a)[0] == "train_0"
-    assert model.depth_alpha(b)[0] == "test_0"   # would alias pre-fix
-    assert model.depth_alpha(a)[0] == "train_0"  # still cached
+    assert model.depth_alpha(a)[0] == 1
+    assert model.depth_alpha(b)[0] == 2          # would alias pre-fix
+    assert model.depth_alpha(a)[0] == 1          # still cached
     assert len(calls) == 2
+    # the jitted render sees NORMALIZED statics (camera.jit_view: one
+    # trace per capacity, not per view) while the cache keys stay per-view
+    assert all(c.uid == 0 and c.image_name == "" for c in calls)
 
 
 def test_blender_datagen_pose_convention():
