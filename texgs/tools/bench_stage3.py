@@ -68,6 +68,37 @@ def build_model(n: int, tex_res: int, width: int, height: int, log=None):
     model.bind_train_cfg(cfg.train_cfg, [0, 0, 0])
     model.active_sh_degree = int(mc.tex_cfg.max_sh_degree)
 
+    # Pre-fit the UV net to the analytic sphere map (uv = normalize(xyz)):
+    # a FRESH random MLP gives an incoherent UV map whose textile windows
+    # miss ~265k of 15.5M requests per frame — the controller then sizes
+    # the miss correction for that worst case and the measurement reflects
+    # cold-start stage 3, not the production steady state (trained maps
+    # miss ~0.5%, NOTES.md).  ~300 Adam steps reach the coherent regime.
+    from texgs.nets.uv_net import apply_uv_net
+    from texgs.train import optim as topt
+
+    tgt = state.xyz / (jnp.linalg.norm(state.xyz, axis=-1,
+                                       keepdims=True) + 1e-9)
+    uvp = model.uv_params["uv_net"]
+    adam = topt.init(uvp)
+    lrs = jax.tree.map(lambda _: jnp.float32(1e-3), uvp)
+    geo = model.uv_params["geo_emb"]
+    xyz = state.xyz
+
+    @jax.jit
+    def fit_step(p, a, xyz_, tgt_, geo_):
+        def loss(pp):
+            uv = apply_uv_net(pp, mc.uv_net_cfg, xyz_, geo_)
+            return ((uv - tgt_) ** 2).sum(-1).mean()
+        l, g = jax.value_and_grad(loss)(p)
+        p2, a2 = topt.update(p, g, a, lrs)
+        return p2, a2, l
+
+    for _ in range(300):
+        uvp, adam, l = fit_step(uvp, adam, xyz, tgt, geo)
+    model.uv_params = {**model.uv_params, "uv_net": uvp}
+    log.info(f"bench uv_net prefit: final map err {float(l):.4f}")
+
     cam = orbit_cameras(1, radius=3.5, width=width, height=height)[0]
     rng = np.random.default_rng(1)
     cam = dataclasses.replace(
