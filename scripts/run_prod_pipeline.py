@@ -103,6 +103,9 @@ def main():
     ap.add_argument("--stage", type=int, default=0,
                     help="start at: 0=dataset 1/2/3=train stages")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume the --stage run from its latest checkpoint "
+                         "(wall-clock ckpts make mid-stage restarts cheap)")
     args = ap.parse_args()
     div = 10 if args.quick else 1
     cfg_dir = os.path.join(OUT, "_run_cfgs")
@@ -136,11 +139,14 @@ def main():
         link_latest("prod_uv_map")
 
     if args.stage <= 3:
+        extra = []
+        if args.resume and args.stage == 3:
+            extra = ["--resume_from", latest_ckpt("prod_texture")]
         sh(sys.executable, "train.py",
            cfgp("prod_texture.yaml", {
                "init_from": latest_ckpt("prod_stage1"),
                "init_uv_map_from": latest_ckpt("prod_uv_map")}),
-           "--run_name", "prod_texture")
+           "--run_name", "prod_texture", *extra)
         link_latest("prod_texture")
 
     write_metrics(quick=args.quick)

@@ -140,7 +140,7 @@ def check_textile():
     tex = jnp.asarray(rng.uniform(size=(6, RES, RES, 3)), jnp.float32)
     cot = jnp.asarray(rng.normal(size=(3, H, W)), jnp.float32)
 
-    img_t, miss = jax.jit(
+    img_t, miss, _raw = jax.jit(
         lambda m, t: tex_term_textile(m, t, H, W))(mlist, tex)
     img_x = jax.jit(lambda m, t: mlist_tex_term(m, t, H, W))(mlist, tex)
     g_t = jax.jit(jax.grad(lambda m, t: jnp.sum(

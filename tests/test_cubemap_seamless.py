@@ -161,7 +161,13 @@ def test_textile_edge_requests_match_seamless_twin():
     tex = _smooth_cubemap(res)
 
     img_t = np.asarray(mlist_tex_term(mlist, tex, h, w))
-    img_f, miss, _ = tex_term_textile(mlist, tex, h, w, miss_cap=8192)
+    # catch_size=0: this test pins the EXACT correction path's contract
+    # (kernel + correction == seamless twin).  The production default at
+    # res >= 128 serves edge-crossers from the bordered catch-all pack
+    # instead (seamless but area-filtered at 16^2) — its exact-parity and
+    # divergence bounds live in test_textile.py's catch tests.
+    img_f, miss, _ = tex_term_textile(mlist, tex, h, w, miss_cap=8192,
+                                      catch_size=0)
     assert int(miss) == 0
     # atol 1e-4: the correction accumulates in a different f32
     # order than the twin's in-place sum

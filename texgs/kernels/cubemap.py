@@ -161,6 +161,51 @@ def sample_cubemap(texture: jnp.ndarray, dirs: jnp.ndarray,
     return top * (1 - wy[..., None]) + bot * wy[..., None]
 
 
+def bordered_faces(texture: jnp.ndarray) -> jnp.ndarray:
+    """(6, S, S, 3) cubemap -> (6, S+2, S+2, 3) faces with a 1-texel
+    seamless border, such that plain bilinear interpolation on the bordered
+    grid reproduces ``sample_cubemap(texture, dirs, 'bilinear')`` exactly
+    for every direction on the face — including nvdiffrast's cross-edge
+    re-resolve and 3-texel corner-average rules.
+
+    Border texel (xi, yi) (with xi or yi in {-1, S}) holds exactly the
+    value sample_cubemap's tap() would fetch at that out-of-face position:
+    the adjacent face's angular-nearest texel on edges, the 3-face corner
+    average at corners.  Differentiable in texture (dense gathers).  Used
+    by the textile kernel's in-kernel catch-all mip block
+    (texgs.kernels.pallas_textile)."""
+    s = texture.shape[1]
+    face = jnp.repeat(jnp.arange(6, dtype=jnp.int32), (s + 2) * (s + 2))
+    pos = jnp.arange((s + 2) * (s + 2), dtype=jnp.int32)
+    yi = jnp.tile(pos // (s + 2), 6) - 1                 # -1 .. s
+    xi = jnp.tile(pos % (s + 2), 6) - 1
+
+    u_t = (xi.astype(jnp.float32) + 0.5) / s * 2.0 - 1.0
+    v_t = (yi.astype(jnp.float32) + 0.5) / s * 2.0 - 1.0
+    out_u = jnp.abs(u_t) > 1.0
+    out_v = jnp.abs(v_t) > 1.0
+    uc = jnp.clip(u_t, -1.0 + 1.0 / s, 1.0 - 1.0 / s)
+    vc = jnp.clip(v_t, -1.0 + 1.0 / s, 1.0 - 1.0 / s)
+
+    def _reresolve(uu, vv):
+        d_t = face_uv_to_direction(face, uu, vv)
+        f2, u2, v2 = direction_to_face_uv(d_t)
+        x2 = jnp.clip(((u2 * 0.5 + 0.5) * s).astype(jnp.int32), 0, s - 1)
+        y2 = jnp.clip(((v2 * 0.5 + 0.5) * s).astype(jnp.int32), 0, s - 1)
+        return texture[f2, y2, x2]
+
+    P = _reresolve(u_t, vc)
+    Q = _reresolve(uc, v_t)
+    xi_c = jnp.clip(xi, 0, s - 1)
+    yi_c = jnp.clip(yi, 0, s - 1)
+    R = texture[face, yi_c, xi_c]
+    corner = (out_u & out_v)[..., None]
+    val = jnp.where(corner, (P + Q + R) / 3.0,
+                    jnp.where(out_u[..., None], P,
+                              jnp.where(out_v[..., None], Q, R)))
+    return val.reshape(6, s + 2, s + 2, 3)
+
+
 def cubemap_to_latlong(cubemap: jnp.ndarray, resolution) -> jnp.ndarray:
     """(6, R, R, 3) -> (H, W, 3) equirectangular panorama, matching
     NVDIFFREC util.cubemap_to_latlong's spherical parameterization."""

@@ -39,11 +39,24 @@ Design (validated primitive-by-primitive on v5e):
   around the limb -> unbounded du/dpixel) are thereby served area-filtered
   instead of missing — mip anti-aliasing where the reference's full-res
   CUDA fetch aliases.
-* Requests whose face is not among the tile's two dominant faces are
-  dropped by the kernel and folded back exactly by a K-bounded XLA
+* Requests no window serves (off-dominant-face, boundary-band, or
+  footprint outliers) are served in-kernel from a CATCH-ALL pack (round
+  5): all six faces at catch_size (16^2) with a 1-texel seamless border
+  (cubemap.bordered_faces reproduces sample_cubemap's cross-edge
+  re-resolve + 3-texel corner rules exactly), lane-packed into
+  catch_rows extra atlas rows appended to every face block.  Those
+  requests get virtual slot-A window rows >= w_rows, which the kernels
+  map onto the pack — every on-cube direction's taps are in-bounds
+  there, so with the catch enabled the windows structurally serve every
+  active request and tex_miss == 0 by construction.  This removed the
+  measured 3.7 s/step XLA miss-correction tax of round 4 (NOTES.md
+  round-5).  Catch-served values are seamless but area-filtered at
+  catch_size (exact-parity + divergence-bound tests: test_textile.py).
+* With the catch disabled (catch_size=0, or res < 128), unserved
+  requests are instead folded back exactly by a K-bounded XLA
   correction (hierarchical nonzero-compaction + sample_cubemap on the
-  missed requests); any remainder is reported for the trainer's host-side
-  retry (texgs.train.pair_cap.TexMissController).
+  missed requests); any remainder is reported for the trainer's
+  host-side retry (texgs.train.pair_cap.TexMissController).
 
 Runs in interpreter mode off-TPU; tests assert fwd+VJP allclose vs the XLA
 twin on both backends.
@@ -52,7 +65,7 @@ twin on both backends.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +90,7 @@ class TexTileCfg(NamedTuple):
     cols: int         # lanes per half = min(res, 128)
     level_sizes: tuple  # mip level sizes (res, res/2, ..., >= fit-all)
     level_orgs: tuple   # per-level row origin inside the face atlas
+    catch_size: int = 0  # catch-all mip size (0 = disabled, see below)
 
     @property
     def rq_rows(self) -> int:
@@ -99,12 +113,29 @@ class TexTileCfg(NamedTuple):
         return len(self.level_sizes)
 
     @property
-    def atlas_rows(self) -> int:
-        # the deepest level's window loads may run w_rows past its origin
+    def catch_org(self) -> int:
+        # catch-all pack row origin = end of the level rows (the deepest
+        # level's window loads may run w_rows past its origin)
         return self.level_orgs[-1] + max(self.level_sizes[-1], self.w_rows)
 
+    @property
+    def catch_rows(self) -> int:
+        # bordered catch faces packed in 8-row groups
+        return (-(-(self.catch_size + 2) // 8) * 8 if self.catch_size
+                else 0)
 
-def make_cfg(n_tiles: int, m: int, res: int) -> TexTileCfg:
+    @property
+    def n_wg(self) -> int:
+        # window row-groups; virtual groups beyond serve the catch pack
+        return self.w_rows // 8
+
+    @property
+    def atlas_rows(self) -> int:
+        return self.catch_org + self.catch_rows
+
+
+def make_cfg(n_tiles: int, m: int, res: int,
+             catch_size: Optional[int] = None) -> TexTileCfg:
     assert res % 8 == 0, "texture resolution must be a multiple of 8"
     assert res <= 128 or res % 128 == 0, \
         "texture resolution must be <= 128 or a multiple of 128"
@@ -123,9 +154,17 @@ def make_cfg(n_tiles: int, m: int, res: int) -> TexTileCfg:
             break
         org += s
         s //= 2
+    if catch_size is None:
+        # the bordered 6-face pack needs 6*(cs+2) lanes within one window
+        # column span; production resolutions (>= 128) afford cs = 16
+        catch_size = 16 if res >= 128 else 0
+    if catch_size:
+        assert 6 * (catch_size + 2) <= cols, \
+            "catch pack must fit the window lane span"
     return TexTileCfg(n_tiles=n_tiles, m=m, res=res, w_rows=w_rows,
                       n_half=n_half, cols=cols,
-                      level_sizes=tuple(sizes), level_orgs=tuple(orgs))
+                      level_sizes=tuple(sizes), level_orgs=tuple(orgs),
+                      catch_size=catch_size)
 
 
 # ---------------------------------------------------------------- XLA prep
@@ -293,7 +332,6 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
     sb = slot_window(f_b)
     fit_a, fit_b = sa["fit"], sb["fit"]
     served = fit_a | fit_b
-    n_miss = jnp.sum((active & ~served).astype(jnp.int32))
 
     slot = fit_b & ~fit_a                        # prefer slot A
     pick = lambda key: jnp.where(slot, sb[key], sa[key])
@@ -311,6 +349,47 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
     widx = (idx15 | (slot.astype(jnp.int32) << 15) | (colsame << 16)
             | (rowsame << 17)).astype(jnp.int32)
 
+    # ---- catch-all: requests no window serves get the bordered
+    # catch_size mip pack (virtual slot-A window rows >= w_rows, which the
+    # kernels map onto atlas rows catch_org+..).  The bordered pack makes
+    # EVERY tap of any on-cube direction in-bounds, so with the catch
+    # enabled the windows structurally serve every active request and the
+    # XLA miss correction never engages (round-5 fix for the measured
+    # 3.7 s/step miss-correction tax at the controller-grown cap; catch-
+    # served values equal sample_cubemap of the catch_size-downsampled
+    # texture — seamless and area-filtered, where the reference's full-res
+    # fetch aliases).
+    if cfg.catch_size:
+        cs = cfg.catch_size
+        cm = active & ~served
+        uu = u * 0.5 + 0.5
+        vv = v * 0.5 + 0.5
+        if filter_mode == "nearest":
+            xc0 = jnp.clip((uu * cs).astype(jnp.int32), 0, cs - 1)
+            yc0 = jnp.clip((vv * cs).astype(jnp.int32), 0, cs - 1)
+            wx_c = jnp.zeros_like(u)
+            wy_c = jnp.zeros_like(v)
+            same_c = jnp.ones_like(xc0)
+        else:
+            fu_c = uu * cs - 0.5
+            fv_c = vv * cs - 0.5
+            xc0 = jnp.floor(fu_c).astype(jnp.int32)      # -1 .. cs-1
+            yc0 = jnp.floor(fv_c).astype(jnp.int32)
+            wx_c = fu_c - jnp.floor(fu_c)
+            wy_c = fv_c - jnp.floor(fv_c)
+            same_c = jnp.zeros_like(xc0)
+        col_c = face * (cs + 2) + xc0 + 1
+        vly_c = cfg.w_rows + yc0 + 1
+        idx_c = vly_c * cfg.wc + col_c
+        widx_c = (idx_c | (same_c << 16) | (same_c << 17)).astype(jnp.int32)
+        wx = jnp.where(cm, wx_c, wx)
+        wy = jnp.where(cm, wy_c, wy)
+        widx = jnp.where(cm, widx_c, widx)
+        served = served | cm
+    else:
+        cm = jnp.zeros_like(served)
+
+    n_miss = jnp.sum((active & ~served).astype(jnp.int32))
     wq = jnp.where(served, C0 * w, 0.0)
 
     # ---- per-(tile, slot) block activity bitmaps
@@ -318,25 +397,26 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
         mm = msk.reshape(t, cfg.n_blocks, 8 * 128).any(axis=2)
         return jnp.sum(mm.astype(jnp.int32) << jnp.arange(cfg.n_blocks),
                        axis=1)
-    bits_a = blkbits(fit_a)
+    mask_a = fit_a | cm                          # catch rides slot A
+    bits_a = blkbits(mask_a)
     bits_b = blkbits(fit_b & ~fit_a)
 
     # ---- per-(tile, slot, block) window-row footprints: the kernels loop
     # only over rows a block actually references (typically a handful of
-    # the w_rows-row window)
-    def blk_rows(fitmask, s):
-        y0s = s["y0loc"][:, None, None]
-        r0 = jnp.where(fitmask, s["yi0"] - y0s, big)
-        r1 = jnp.where(fitmask, s["yi1"] - y0s, -1)
+    # the w_rows-row window; catch requests reference the virtual rows
+    # [w_rows, w_rows + catch rows))
+    max_row = cfg.w_rows + (cfg.catch_size + 2 if cfg.catch_size else 0) - 1
+
+    def blk_rows(fitmask, vr0, vr1, hh0, hh1):
+        r0 = jnp.where(fitmask, vr0, big)
+        r1 = jnp.where(fitmask, vr1, -1)
         rmin = jnp.min(r0.reshape(t, cfg.n_blocks, -1), axis=2)
         rmax = jnp.max(r1.reshape(t, cfg.n_blocks, -1), axis=2)
         empty = rmax < rmin
-        rmin = jnp.where(empty, 8, jnp.clip(rmin, 0, cfg.w_rows - 1))
-        rmax = jnp.where(empty, 0, jnp.clip(rmax, 0, cfg.w_rows - 1))
+        rmin = jnp.where(empty, 8, jnp.clip(rmin, 0, max_row))
+        rmax = jnp.where(empty, 0, jnp.clip(rmax, 0, max_row))
         # lane-half usage bits (skip unused halves in-kernel)
         if cfg.n_half > 1:
-            hh0 = (s["xi0"] - s["x0"][:, None, None]) // 128
-            hh1 = (s["xi1"] - s["x0"][:, None, None]) // 128
             hbits = jnp.zeros((t, cfg.n_blocks), jnp.int32)
             for h in range(cfg.n_half):
                 used = (fitmask & ((hh0 == h) | (hh1 == h))).reshape(
@@ -346,8 +426,22 @@ def textile_prep(mlist: jnp.ndarray, cfg: TexTileCfg,
             hbits = jnp.ones((t, cfg.n_blocks), jnp.int32)
         return (rmin | (rmax << 8) | (hbits << 16)).astype(jnp.int32)
 
-    rows_a = blk_rows(fit_a, sa)
-    rows_b = blk_rows(fit_b & ~fit_a, sb)
+    def slot_rows(s, fitmask):
+        y0s = s["y0loc"][:, None, None]
+        x0s = s["x0"][:, None, None]
+        return (s["yi0"] - y0s, s["yi1"] - y0s,
+                (s["xi0"] - x0s) // 128, (s["xi1"] - x0s) // 128)
+
+    vr0_a, vr1_a, hh0_a, hh1_a = slot_rows(sa, fit_a)
+    if cfg.catch_size:
+        vr1_c = vly_c + (1 - same_c)
+        vr0_a = jnp.where(cm, vly_c, vr0_a)
+        vr1_a = jnp.where(cm, vr1_c, vr1_a)
+        zc = jnp.zeros_like(hh0_a)
+        hh0_a = jnp.where(cm, zc, hh0_a)
+        hh1_a = jnp.where(cm, zc, hh1_a)
+    rows_a = blk_rows(mask_a, vr0_a, vr1_a, hh0_a, hh1_a)
+    rows_b = blk_rows(fit_b & ~fit_a, *slot_rows(sb, fit_b))
     y0_a, x0_a, y0_b, x0_b = sa["y0"], sa["x0"], sb["y0"], sb["x0"]
 
     # ---- step arrays, sorted by face so face blocks are visited in runs
@@ -391,9 +485,19 @@ def _unpack_meta(meta, cfg: TexTileCfg):
 def _load_group3(tex_ref, y0, x0, gk, h, cfg: TexTileCfg):
     """Aligned 8-row window group gk (dynamic), lane-half h (static) ->
     3 channel (8, 128) groups.  Mosaic requires tile-aligned dynamic
-    loads: the group offset is a multiple of 8 sublanes / 128 lanes."""
-    xo = pl.multiple_of(x0 + h * 128 if cfg.n_half > 1 else x0, 128)
-    ka = pl.multiple_of(y0 + 8 * gk, 8)
+    loads: the group offset is a multiple of 8 sublanes / 128 lanes.
+    Virtual groups gk >= n_wg read the catch-all pack at catch_org
+    (lanes 0..; any h>0 load there is masked off by the tap row/half
+    ownership, so it is merely unused)."""
+    xo_raw = x0 + h * 128 if cfg.n_half > 1 else x0
+    ka_raw = y0 + 8 * gk
+    if cfg.catch_size:
+        is_catch = gk >= cfg.n_wg
+        ka_raw = jnp.where(is_catch, cfg.catch_org + 8 * (gk - cfg.n_wg),
+                           ka_raw)
+        xo_raw = jnp.where(is_catch, 0, xo_raw)
+    xo = pl.multiple_of(xo_raw, 128)
+    ka = pl.multiple_of(ka_raw, 8)
     grps = []
     for ch in range(3):
         grp = tex_ref[ch, 0, pl.ds(ka, 8), pl.ds(xo, cfg.cols)]
@@ -545,7 +649,9 @@ def _bwd_kernel(tile_ref, meta_ref, rows_ref, tex_ref, wq_ref, wx_ref,
         # precomputed in XLA (Mosaic cannot lane-concat row slices)
         gr = [gr_ref[0, ch:ch + 1, :] for ch in range(3)]
 
-        n_rows = cfg.w_rows
+        # catch rows extend the virtual window: ly >= w_rows scatter into
+        # the catch-all pack at catch_org (disjoint from any window rows)
+        n_rows = cfg.w_rows + cfg.catch_rows
         sub_rows = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1024), 0)
         n_lane_rows = cfg.n_half * 128
         sub_lanes = jax.lax.broadcasted_iota(
@@ -638,7 +744,13 @@ def _bwd_kernel(tile_ref, meta_ref, rows_ref, tex_ref, wq_ref, wx_ref,
                             x0 + h * 128 if cfg.n_half > 1 else x0, 128)
                         dtex_ref[ch, 0, pl.ds(y0, cfg.w_rows),
                                  pl.ds(xo, cfg.cols)] += \
-                            gw[:, h * 128:h * 128 + cfg.cols]
+                            gw[:cfg.w_rows, h * 128:h * 128 + cfg.cols]
+                    if cfg.catch_size:
+                        # catch lanes live in half 0 (pack cols < 128)
+                        dtex_ref[ch, 0,
+                                 pl.ds(cfg.catch_org, cfg.catch_rows),
+                                 pl.ds(0, cfg.cols)] += \
+                            gw[cfg.w_rows:, :cfg.cols]
 
 
 # ----------------------------------------------------------- host wrapper
@@ -846,16 +958,38 @@ def build_atlas(texture: jnp.ndarray, cfg: TexTileCfg) -> jnp.ndarray:
         pad = cfg.res - s
         parts.append(lv if pad == 0 else jnp.pad(
             lv, ((0, 0), (0, 0), (0, 0), (0, pad))))
-    tail = cfg.atlas_rows - (cfg.level_orgs[-1] + cfg.level_sizes[-1])
+    tail = cfg.catch_org - (cfg.level_orgs[-1] + cfg.level_sizes[-1])
     if tail:
         parts.append(jnp.zeros((3, 6, tail, cfg.res), planar.dtype))
+    if cfg.catch_size:
+        # catch-all pack: every face at catch_size with a 1-texel SEAMLESS
+        # border (cubemap.bordered_faces), lane-packed side by side so any
+        # request — whatever its face — can be served from rows
+        # [catch_org, catch_org + catch_rows) of ANY face's atlas block.
+        # Identical for all faces: the broadcast's VJP sums the 6 copies'
+        # gradients back into one pack gradient automatically.
+        from texgs.kernels.cubemap import bordered_faces
+        cs = cfg.catch_size
+        s = cfg.level_sizes[-1]
+        while s > cs:
+            lv = lv.reshape(3, 6, s // 2, 2, s // 2, 2).mean(axis=(3, 5))
+            s //= 2
+        bf = bordered_faces(jnp.moveaxis(lv, 0, 3))     # (6, cs, cs, 3) in
+        # (6, cs+2, cs+2, 3) -> (3, cs+2, 6*(cs+2))
+        pack = jnp.moveaxis(bf, -1, 0).transpose(0, 2, 1, 3).reshape(
+            3, cs + 2, 6 * (cs + 2))
+        pack = jnp.pad(pack, ((0, 0), (0, cfg.catch_rows - (cs + 2)),
+                              (0, cfg.res - 6 * (cs + 2))))
+        parts.append(jnp.broadcast_to(pack[:, None],
+                                      (3, 6, cfg.catch_rows, cfg.res)))
     return jnp.concatenate(parts, axis=2)
 
 
 def tex_term_textile(mlist: jnp.ndarray, texture: jnp.ndarray,
                      height: int, width: int,
                      filter_mode: str = "bilinear",
-                     miss_cap: int = 4096):
+                     miss_cap: int = 4096,
+                     catch_size: Optional[int] = None):
     """(T, PIX, M, 4) M-lists + (6, R, R, 3) cubemap -> ((3, H, W) texture
     color term, miss count).  Drop-in for uvtex_raster.mlist_tex_term with
     an extra diagnostics return.  Tiles whose uv footprint overflows a
@@ -864,7 +998,7 @@ def tex_term_textile(mlist: jnp.ndarray, texture: jnp.ndarray,
     exactly via miss_correction; callers need a whole-frame retry only
     when the reported miss count is > 0."""
     t, pix, m, _ = mlist.shape
-    cfg = make_cfg(t, m, texture.shape[1])
+    cfg = make_cfg(t, m, texture.shape[1], catch_size=catch_size)
     prep = textile_prep(mlist, cfg, filter_mode)
     tex_atlas = build_atlas(texture, cfg)
     out = textile_apply(cfg, prep.wq, prep.wx, prep.wy, prep.widx,

@@ -554,6 +554,15 @@ def rasterize_uvtex(proj: ProjectedGaussians, scaling, rotation, xyz,
 
     tex_miss = tex_miss_total = None
     if tex_backend == "textile":
+        if m % 4 != 0:
+            # textile's block math (miss_correction reshape, step-tile
+            # packing) requires m % 4 == 0; the fused kernel only pads odd
+            # m to even, so fail here with a clear message instead of a
+            # cryptic reshape error downstream (ADVICE r4)
+            raise ValueError(
+                f"tex_backend='textile' requires m divisible by 4 (got "
+                f"m={m}); use m in {{4, 8, ..., 32, ...}} or "
+                f"tex_backend='xla'")
         from texgs.kernels.pallas_textile import tex_term_textile
         # exactness contract: tex_miss counts requests the windows+bounded
         # correction could NOT serve.  When > 0 the image is missing those

@@ -128,6 +128,8 @@ def train(cfg: Cfg, log, tb_writer=None, scene=None, model=None,
     ema_loss = 0.0
     last_eval = None
     t_start = time.time()
+    ckpt_wall_s = 60.0 * float(cfg.train_cfg.get_or("ckpt_wall_minutes", 10))
+    t_last_ckpt = t_start
 
     for iteration in range(start_iteration + 1, end_iteration + 1):
         if not pool:
@@ -170,7 +172,8 @@ def train(cfg: Cfg, log, tb_writer=None, scene=None, model=None,
 
         # models with deferred step validation (see Gaussian3D.flush) must
         # settle the in-flight step before state-dependent host work
-        if (iteration in visual_iters or iteration in ckpt_iters) \
+        if (iteration in visual_iters or iteration in ckpt_iters
+                or (debug and iteration == end_iteration)) \
                 and hasattr(model, "flush"):
             model.flush()
 
@@ -190,6 +193,21 @@ def train(cfg: Cfg, log, tb_writer=None, scene=None, model=None,
             log.info(f"\n[ITER {iteration}] Saving Checkpoint")
             path = os.path.join(cfg.work_dir, "checkpoints", str(iteration))
             ckpt.save(path, model.state_dict(), iteration)
+            t_last_ckpt = time.time()
+
+        # wall-clock checkpointing (VERDICT r4 item 3): on flaky remote
+        # hardware, iteration-count cadence alone can lose hours of work
+        # (round 4 lost a 650-iter stage-3 run to an empty checkpoints/
+        # dir).  Every ckpt_wall_minutes of wall-clock, persist a resumable
+        # checkpoint regardless of the iteration schedule.  0 disables.
+        if (not debug and ckpt_wall_s > 0
+                and time.time() - t_last_ckpt > ckpt_wall_s):
+            if hasattr(model, "flush"):
+                model.flush()
+            path = os.path.join(cfg.work_dir, "checkpoints", str(iteration))
+            ckpt.save(path, model.state_dict(), iteration)
+            t_last_ckpt = time.time()
+            log.info(f"[ITER {iteration}] wall-clock checkpoint -> {path}")
 
         model.optimize_step(iteration, end_iteration, cfg.train_cfg, extra)
 

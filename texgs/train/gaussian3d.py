@@ -274,10 +274,14 @@ class Gaussian3D:
         viewpoint = viewpoint.jit_view()   # one trace per capacity, not view
         lrs = self._lrs(cur_iter)
 
+        # capture at dispatch time so a rollback re-run of step k uses the
+        # SH degree it was dispatched with (ADVICE r4)
+        sh_degree = self.active_sh_degree
+
         def run(cap):
             return self._train_step(
                 self.state, self.adam, self.stats, viewpoint, lrs, lambdas,
-                apply_adam, flags, self.active_sh_degree, cap, self.backend)
+                apply_adam, flags, sh_degree, cap, self.backend)
 
         prev = (self.state, self.adam, self.stats)
         result = run(self._pair_caps.current(default_cap))

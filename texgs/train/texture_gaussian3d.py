@@ -415,12 +415,16 @@ class TextureGaussian3D:
         tex_backend = (self._tex_miss.backend_for_step() if use_textile
                        else None)
         viewpoint = viewpoint.jit_view()
+        # capture at dispatch time: a rollback re-run of step k must use the
+        # SH degree step k was dispatched with, even if optimize_step bumped
+        # it before the deferred validation fired (ADVICE r4)
+        sh_degree = self.active_sh_degree
 
         def run(cap, tb, miss_cap):
             return self._train_step(
                 self.gauss_params, self.uv_params, self.tex_params,
                 self.adam_g, self.adam_uv, self.adam_tex, viewpoint, key,
-                lrs, lambdas, apply_flags, flags, self.active_sh_degree,
+                lrs, lambdas, apply_flags, flags, sh_degree,
                 n_inv, cap, tb, miss_cap)
 
         def adopt(result):
@@ -644,7 +648,12 @@ class TextureGaussian3D:
         return dict(
             hyperparams=dict(active_sh_degree=self.active_sh_degree,
                              spatial_lr_scale=self.spatial_lr_scale,
-                             uv_step_count=self._uv_step_count),
+                             uv_step_count=self._uv_step_count,
+                             # exact mid-stage resume (VERDICT r4 item 3):
+                             # rng + host-side controller caps
+                             rng_key=np.asarray(self._rng).tolist(),
+                             pair_cap=self._pair_caps.cap,
+                             tex_miss_cap=self._tex_miss.cap),
             params={**{k: np.asarray(v) for k, v in self.gauss_params.items()},
                     "texture": np.asarray(self.tex_params["texture"]),
                     "n_alive": np.asarray(self.n_alive)},
@@ -667,6 +676,12 @@ class TextureGaussian3D:
         self.active_sh_degree = int(hp["active_sh_degree"])
         self.spatial_lr_scale = float(hp["spatial_lr_scale"])
         self._uv_step_count = int(hp["uv_step_count"])
+        if hp.get("rng_key") is not None:
+            self._rng = jnp.asarray(hp["rng_key"], jnp.uint32)
+        if hp.get("pair_cap") is not None:
+            self._pair_caps.cap = int(hp["pair_cap"])
+        if hp.get("tex_miss_cap") is not None:
+            self._tex_miss.cap = int(hp["tex_miss_cap"])
         p = sd["params"]
         self.n_alive = jnp.asarray(p["n_alive"], jnp.int32)
         self.gauss_params = {k: jnp.asarray(p[k]) for k in
