@@ -76,6 +76,25 @@ def main():
               f"   +tail {float(psnr(jnp.asarray(img_t), jnp.asarray(ref)).mean()):7.2f} dB",
               flush=True)
 
+    # textile (windows + catch-all) vs the exact xla texture path on the
+    # TRAINED scene at the production m: bounds the round-5 catch-all
+    # divergence where it matters
+    def render_textile(m):
+        out = uv_tex_render(
+            cam, xyz=xyz, opacity=opacity, scaling=scaling, rotation=rot,
+            uvs=uvs, grad_uvs=jacf, texture=tex, shs=shs,
+            active_sh_degree=3, bg_color=jnp.zeros(3), m=m,
+            backend="fused", tex_backend="textile")
+        return jnp.clip(out["render"], 0, 1), out["tex_miss"], \
+            out["tex_miss_total"]
+    ft = jax.jit(render_textile, static_argnums=(0,))
+    for m in (16, 32):
+        img_x = np.asarray(f(m, False))
+        img_w, miss, raw = ft(m)
+        print(f"textile m={m}: vs xla "
+              f"{float(psnr(jnp.clip(jnp.asarray(img_w), 0, 1), jnp.asarray(img_x)).mean()):7.2f} dB"
+              f"  miss={int(miss)} raw={int(raw)}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -175,6 +175,8 @@ class TextureGaussian3D:
         self._eval_cache = None
         self._pair_caps = PairCapController(log=log)
         self._tex_miss = TexMissController(log=log)
+        self._pending_q: list = []   # windowed deferred validation queue
+        self._q_base = None          # snapshot before the oldest entry
 
     # ------------------------------------------------------------- setup
     def bind_train_cfg(self, train_cfg: Cfg, bg):
@@ -431,87 +433,108 @@ class TextureGaussian3D:
             (self.gauss_params, self.uv_params, self.tex_params,
              self.adam_g, self.adam_uv, self.adam_tex) = result[:6]
 
-        # DEFERRED validation (see Gaussian3D.compute_loss): dispatch step
-        # k speculatively on step k-1's unvalidated outputs, then read
-        # k-1's stats in ONE device_get while k executes on-device; on the
-        # rare pair/texture-miss overflow k-1 is rolled back + re-run and
-        # the speculative k re-dispatched.  Driver sees a one-step stats
-        # lag; flush() settles before eval/checkpoint/min-scale-reset.
-        prev = self._snapshot()
+        # WINDOWED deferred validation (round 5; see Gaussian3D.compute_loss
+        # for the one-step version): each per-step host read of the stats
+        # dict costs a ~41 ms tunnel round trip — a third of the whole
+        # 295 ms stage-3 step.  Steps are dispatched speculatively into a
+        # queue; once more than `validate_every` are pending, all COMPLETED
+        # ones (all but the newest, still in flight) are validated in ONE
+        # device_get.  Overflow handling keeps a single base snapshot from
+        # before the oldest pending step: train steps are pure functions of
+        # (params, caps), so on the rare pair/texture-miss overflow the
+        # whole window is re-run from the base with corrected caps — exact,
+        # and with the in-kernel catch-all (tex_miss == 0 by construction)
+        # overflows are pair-cap growth events only.  flush() settles the
+        # queue before eval/checkpoint/min-scale-reset/state_dict.
+        if not self._pending_q:
+            self._q_base = self._snapshot()
         result = run(self._pair_caps.current(default_cap), tex_backend,
                      self._tex_miss.cap)
         adopt(result)
-        lagged = self._validate_pending()
-        if self._rolled_back:
-            self._rolled_back = False
-            tex_backend = (self._tex_miss.backend_for_step() if use_textile
-                           else None)
-            prev = self._snapshot()
-            result = run(self._pair_caps.current(default_cap), tex_backend,
-                         self._tex_miss.cap)
-            adopt(result)
-        self._pending = dict(stats=result[7], prev=prev, run=run,
-                             adopt=adopt, default_cap=default_cap,
-                             tex_backend=tex_backend,
-                             use_textile=use_textile)
+        self._pending_q.append(dict(
+            stats=result[7], run=run, default_cap=default_cap,
+            tex_backend=tex_backend, use_textile=use_textile))
         self._eval_cache = None
-        if lagged is None:
-            # nothing was pending (first step, or a flush consumed it)
-            lagged = self._last_stats if self._last_stats is not None \
-                else self.flush()
-        self._last_stats = lagged
+        k = int(self._train_cfg.get_or("validate_every", 8)) \
+            if self._train_cfg is not None else 1
+        if len(self._pending_q) > max(k, 1):
+            self._validate_queue(len(self._pending_q) - 1)
+        if self._last_stats is None:
+            self.flush()
+        lagged = self._last_stats
         return lagged["total_loss"], lagged, {}
 
-    _pending = None
-    _rolled_back = False
     _last_stats = None
 
     def _snapshot(self):
         return (self.gauss_params, self.uv_params, self.tex_params,
                 self.adam_g, self.adam_uv, self.adam_tex)
 
-    def _validate_pending(self):
-        """device_get + retry control for the in-flight step: pair-cap
-        growth and textile-miss cap/backend feedback, with rollback + sync
-        re-run on overflow (a step whose binning dropped pairs or whose
-        texture windows dropped taps never reaches the params)."""
-        p, self._pending = self._pending, None
-        if p is None:
-            return None
-        stats = jax.device_get(p["stats"])
-        tex_backend = p["tex_backend"]
-        for _attempt in range(8):
-            redo_cap = None
-            if "pair_overflow" in stats and bool(stats["pair_overflow"]):
-                self._pair_caps.grow(int(stats["n_pairs"]),
-                                     p["default_cap"])
-                redo_cap = True
-            else:
-                if "n_pairs" in stats:
-                    self._pair_caps.observe(int(stats["n_pairs"]),
-                                            p["default_cap"])
-                tex_miss = stats.get("tex_miss")
-                if tex_miss is not None and int(tex_miss) > 0:
-                    tex_backend = self._tex_miss.on_overflow(int(tex_miss))
-                    redo_cap = True
-            if redo_cap is None:
-                if tex_backend == "textile":
-                    self._tex_miss.on_textile_ok(
-                        stats.get("tex_miss_total"))
-                return stats
-            (self.gauss_params, self.uv_params, self.tex_params,
-             self.adam_g, self.adam_uv, self.adam_tex) = p["prev"]
-            self._rolled_back = True
-            result = p["run"](self._pair_caps.current(p["default_cap"]),
-                              tex_backend, self._tex_miss.cap)
-            p["adopt"](result)
-            stats = jax.device_get(result[7])
-        return stats
+    def _check_stats(self, stats, entry):
+        """Controller feedback for one validated step.  Returns the
+        corrected tex_backend to re-run with on overflow, else None."""
+        if "pair_overflow" in stats and bool(stats["pair_overflow"]):
+            self._pair_caps.grow(int(stats["n_pairs"]), entry["default_cap"])
+            return entry["tex_backend"]
+        if "n_pairs" in stats:
+            self._pair_caps.observe(int(stats["n_pairs"]),
+                                    entry["default_cap"])
+        tex_miss = stats.get("tex_miss")
+        if tex_miss is not None and int(tex_miss) > 0:
+            return self._tex_miss.on_overflow(int(tex_miss))
+        if entry["tex_backend"] == "textile":
+            self._tex_miss.on_textile_ok(stats.get("tex_miss_total"))
+        return None
+
+    def _validate_queue(self, upto: int):
+        """Validate the first `upto` pending steps in ONE device_get.
+
+        On any overflow: restore the base snapshot and re-run the WHOLE
+        queue sequentially with corrected caps, validating each step —
+        exact, because steps are pure functions of (params, caps) and
+        clean steps reproduce bit-identically.  A step whose binning
+        dropped pairs or whose texture windows dropped taps never reaches
+        the params."""
+        if upto <= 0 or not self._pending_q:
+            return
+        entries = self._pending_q[:upto]
+        stats_list = jax.device_get([e["stats"] for e in entries])
+        bad = None
+        for i, (st, e) in enumerate(zip(stats_list, entries)):
+            retry_tb = self._check_stats(st, e)
+            if retry_tb is not None:
+                bad = i
+                break
+            self._last_stats = st
+        if bad is None:
+            del self._pending_q[:upto]
+            if not self._pending_q:
+                self._q_base = None
+            return
+        # overflow at entry `bad`: re-run the whole window from the base
+        # with the corrected caps, validating synchronously (rare path)
+        queue, self._pending_q = self._pending_q, []
+        (self.gauss_params, self.uv_params, self.tex_params,
+         self.adam_g, self.adam_uv, self.adam_tex) = self._q_base
+        self._q_base = None
+        for e in queue:
+            for _attempt in range(8):
+                tb = (self._tex_miss.backend_for_step()
+                      if e["use_textile"] else None)
+                result = e["run"](
+                    self._pair_caps.current(e["default_cap"]), tb,
+                    self._tex_miss.cap)
+                st = jax.device_get(result[7])
+                retry_tb = self._check_stats(st, dict(e, tex_backend=tb))
+                if retry_tb is None or _attempt == 7:
+                    (self.gauss_params, self.uv_params, self.tex_params,
+                     self.adam_g, self.adam_uv, self.adam_tex) = result[:6]
+                    self._last_stats = st
+                    break
 
     def flush(self):
-        st = self._validate_pending()
-        self._rolled_back = False
-        return st
+        self._validate_queue(len(self._pending_q))
+        return self._last_stats
 
     def optimize_step(self, cur_iter: int, total_iter: int, train_cfg: Cfg,
                       extra_info: dict):
@@ -642,6 +665,8 @@ class TextureGaussian3D:
 
     # --------------------------------------------------------------- io
     def state_dict(self) -> dict:
+        self.flush()                # never checkpoint unvalidated params
+
         def np_tree(t):
             return jax.tree.map(np.asarray, t)
 
@@ -673,6 +698,9 @@ class TextureGaussian3D:
 
     def load_state_dict(self, sd: dict, optim_cfg: Cfg):
         hp = sd["hyperparams"]
+        self._pending_q = []        # any in-flight steps predate the load
+        self._q_base = None
+        self._last_stats = None
         self.active_sh_degree = int(hp["active_sh_degree"])
         self.spatial_lr_scale = float(hp["spatial_lr_scale"])
         self._uv_step_count = int(hp["uv_step_count"])
