@@ -177,9 +177,13 @@ def stage3(stage1, stage2, workdir, disk_scene):
     cfg.model_cfg.tex_cfg.resolution = 64
     cfg.model_cfg.tex_cfg.max_sh_degree = 1
     cfg.model_cfg.uvtex_m = 16
-    cfg.train_cfg.num_iterations = 60
-    cfg.train_cfg.visual_iters = [60]
-    cfg.train_cfg.ckpt_iters = [60]
+    # 240 iters (was 60, VERDICT r4 item 6): enough texture signal on the
+    # tiny scene that the stage-1-relative gate in test_golden_metrics is
+    # meaningful — a mediocre-but-stable texture stage must FAIL CI.
+    iters3 = 240
+    cfg.train_cfg.num_iterations = iters3
+    cfg.train_cfg.visual_iters = [iters3]
+    cfg.train_cfg.ckpt_iters = [iters3]
     cfg.train_cfg.min_scale_reset_interval = 0
     cfg.optim_cfg.gaussian_optim_range = [30, None]
     # 60 CPU-affordable iters at the reference tex_lr=0.0025 move texels
@@ -205,7 +209,7 @@ def stage3(stage1, stage2, workdir, disk_scene):
     ev0 = visualize(None, 0, 60, m0, scene, log)
     del m0
     model, scene3, ev = train(cfg, log, None, scene=scene, progress=False)
-    ckpt_path = os.path.join(cfg.work_dir, "checkpoints", "60")
+    ckpt_path = os.path.join(cfg.work_dir, "checkpoints", str(iters3))
     return cfg, model, ckpt_path, ev, scene, ev0
 
 
@@ -300,6 +304,12 @@ def test_golden_metrics(stage1, stage3):
         (ev3, golden)
     assert ev3["test"]["ssim"] >= golden["stage3_test_ssim"] - golden["margin_ssim"], \
         (ev3, golden)
+    # stage-1-RELATIVE bound (VERDICT r4 item 6): the textured model must
+    # track the geometry stage on the same scene even at tiny scale — the
+    # absolute goldens above catch regressions vs the recorded run, this
+    # catches a texture stage that is "stable but mediocre" from birth.
+    assert ev3["test"]["psnr"] >= ev1["test"]["psnr"] - golden["rel_margin_db"], \
+        (ev3, ev1, golden)
 
 
 def test_change_texture_blend_modes():
