@@ -45,6 +45,23 @@ def _resize(img: np.ndarray, resolution: tuple[int, int]) -> np.ndarray:
     return np.stack([np.asarray(c, np.float32) / 255.0 for c in chans], -1)
 
 
+def _stage(cam: Camera) -> Camera:
+    """Device-stage a camera's array leaves ONCE at scene-load time.
+
+    Cameras are jit arguments, so numpy leaves (the 5.8 MB ground-truth
+    image above all) would be host->device transferred on EVERY train
+    step — on the remote-TPU platform that is a per-step tunnel transfer
+    whose client-side buffer is never reclaimed (measured ~6 MB/step of
+    host RSS growth in the round-5 stage-3 production run, ~60 GB over a
+    10k-iter stage; see NOTES.md).  Staging the leaves as device arrays
+    up front removes both the per-step transfer and the leak.  Device
+    cost: n_views x ~8 MB — 0.5 GB HBM for the 72-view production scene.
+    """
+    import jax
+
+    return jax.tree.map(jax.device_put, cam)
+
+
 def load_camera(cfg: Cfg, uid: int, info: CameraInfo,
                 resolution_scale: float) -> Camera:
     """CameraInfo -> Camera with the reference resolution rules."""
@@ -170,10 +187,10 @@ class Scene:
         n_train = len(scene_info.train_cameras)
         for rs in (cfg.resolution_scales or [1.0]):
             log.info("Loading Training Cameras")
-            self.train_cameras[rs] = [load_camera(cfg, i, c, rs)
+            self.train_cameras[rs] = [_stage(load_camera(cfg, i, c, rs))
                                       for i, c in enumerate(scene_info.train_cameras)]
             log.info("Loading Test Cameras")
-            self.test_cameras[rs] = [load_camera(cfg, n_train + i, c, rs)
+            self.test_cameras[rs] = [_stage(load_camera(cfg, n_train + i, c, rs))
                                      for i, c in enumerate(scene_info.test_cameras)]
 
     def getTrainCameras(self, scale: float = 1.0) -> list[Camera]:

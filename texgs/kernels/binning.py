@@ -47,6 +47,11 @@ class PairList(NamedTuple):
     tile_counts: jnp.ndarray  # (n_tiles,) int32 true pair count per tile
     n_pairs: jnp.ndarray      # () int32 true (unpadded, uncapped) pair count
     overflowed: jnp.ndarray   # () bool: pair_cap exceeded (pairs dropped)
+    n_live_chunks: jnp.ndarray  # () int32: chunks [0, n_live) are live, the
+    #                             rest are the static-cap dead tail (the
+    #                             padded layout is dense: every live chunk
+    #                             precedes every dead one).  Pallas kernels
+    #                             use this as a dynamic grid bound on TPU.
 
     @property
     def n_chunks(self) -> int:
@@ -206,4 +211,7 @@ def build_pairs(means2d: jnp.ndarray, depths: jnp.ndarray, radii: jnp.ndarray,
         tile_counts=counts,
         n_pairs=total,
         overflowed=total > pair_cap,
+        n_live_chunks=jnp.minimum(
+            (padded_starts[-1] + pc[-1]) // chunk, n_chunks
+        ).astype(jnp.int32),
     )

@@ -280,8 +280,32 @@ def _bwd_kernel(ct_ref, flags_ref, attrs_ref, fwd_blk_ref, g_blk_ref,
         d_attrs_ref[:, :] = jnp.zeros_like(d_attrs_ref)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def raster_pairs(attrs, chunk_tile_safe, chunk_flags, n_tiles: int,
+def _grid_dim(n_chunks: int, n_live):
+    """Dynamic grid bound: the padded layout is dense (every live chunk
+    precedes every dead one), so on TPU the sequential chunk grid stops at
+    ``n_live`` instead of sweeping the static-cap dead tail (~40% of steps
+    at a controller-fit pair cap).  Interpret mode (CPU tests) keeps the
+    static grid — dead chunks are no-ops there and Pallas interpret does
+    not model dynamic grids."""
+    if n_live is None or _interpret():
+        return n_chunks
+    return jnp.minimum(jnp.asarray(n_live, jnp.int32), n_chunks)
+
+
+def _live_slot_mask(total: int, chunk: int, n_live, like):
+    """(1, total) f32 mask of slots covered by the (possibly truncated)
+    grid: cotangent blocks past the truncation point are never written by
+    the backward kernel, and their garbage must not reach the gather
+    transpose (whose index clip would fold it into Gaussian 0)."""
+    if n_live is None:
+        return None
+    idx = jnp.arange(total, dtype=jnp.int32)
+    return (idx < jnp.asarray(n_live, jnp.int32) * chunk).astype(
+        like.dtype)[None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def raster_pairs(attrs, chunk_tile_safe, chunk_flags, n_live, n_tiles: int,
                  chunk: int):
     """attrs (A, P) -> packed tile blocks (T, PAD_F, PIX).
 
@@ -290,13 +314,14 @@ def raster_pairs(attrs, chunk_tile_safe, chunk_flags, n_tiles: int,
     int32 output-block index per chunk; chunk_flags: (n_chunks,) int32 with
     bit0 = live, bit1 = first-chunk-of-tile.  (Kept as two flat 1D arrays:
     2D scalar-prefetch operands are lane-padded x128 in SMEM and overflow
-    its 1 MiB at production chunk counts.)
+    its 1 MiB at production chunk counts.)  n_live: () int32 dynamic grid
+    bound (PairList.n_live_chunks) or None for the full static sweep.
     """
-    return _raster_fwd_call(attrs, chunk_tile_safe, chunk_flags,
+    return _raster_fwd_call(attrs, chunk_tile_safe, chunk_flags, n_live,
                             n_tiles, chunk)
 
 
-def _raster_fwd_call(attrs, chunk_tile_safe, chunk_flags, n_tiles,
+def _raster_fwd_call(attrs, chunk_tile_safe, chunk_flags, n_live, n_tiles,
                      chunk):
     a_dim, total = attrs.shape
     n_chunks = total // chunk
@@ -304,7 +329,7 @@ def _raster_fwd_call(attrs, chunk_tile_safe, chunk_flags, n_tiles,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        grid=(_grid_dim(n_chunks, n_live),),
         in_specs=[
             pl.BlockSpec((a_dim, chunk), lambda i, ct, lf: (0, i),
                          memory_space=pltpu.VMEM),
@@ -324,14 +349,14 @@ def _raster_fwd_call(attrs, chunk_tile_safe, chunk_flags, n_tiles,
     )(chunk_tile_safe, chunk_flags, attrs)
 
 
-def _raster_fwd(attrs, chunk_tile_safe, chunk_flags, n_tiles, chunk):
-    blk = _raster_fwd_call(attrs, chunk_tile_safe, chunk_flags, n_tiles,
-                           chunk)
-    return blk, (attrs, chunk_tile_safe, chunk_flags, blk)
+def _raster_fwd(attrs, chunk_tile_safe, chunk_flags, n_live, n_tiles, chunk):
+    blk = _raster_fwd_call(attrs, chunk_tile_safe, chunk_flags, n_live,
+                           n_tiles, chunk)
+    return blk, (attrs, chunk_tile_safe, chunk_flags, n_live, blk)
 
 
 def _raster_bwd(n_tiles, chunk, res, g_blk):
-    attrs, chunk_tile_safe, chunk_flags, fwd_blk = res
+    attrs, chunk_tile_safe, chunk_flags, n_live, fwd_blk = res
     a_dim, total = attrs.shape
     n_chunks = total // chunk
     pad_f = _pad_f(a_dim - ROW_F0)
@@ -340,7 +365,7 @@ def _raster_bwd(n_tiles, chunk, res, g_blk):
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        grid=(_grid_dim(n_chunks, n_live),),
         in_specs=[
             pl.BlockSpec((a_dim, chunk), lambda i, ct, lf: (0, i),
                          memory_space=pltpu.VMEM),
@@ -360,7 +385,10 @@ def _raster_bwd(n_tiles, chunk, res, g_blk):
         out_shape=jax.ShapeDtypeStruct((a_dim, total), jnp.float32),
         interpret=_interpret(),
     )(chunk_tile_safe, chunk_flags, attrs, fwd_blk, g_blk)
-    return (d_attrs, None, None)
+    mask = _live_slot_mask(total, chunk, n_live, d_attrs)
+    if mask is not None:
+        d_attrs = d_attrs * mask
+    return (d_attrs, None, None, None)
 
 
 raster_pairs.defvjp(_raster_fwd, _raster_bwd)
@@ -382,7 +410,8 @@ def rasterize_pallas(attrs: jnp.ndarray, pairs: PairList, height: int,
     chunk_flags = live | (first << 1)
     chunk_tile_safe = _safe_tiles(chunk_tile)
 
-    blk = raster_pairs(attrs, chunk_tile_safe, chunk_flags, n_tiles, chunk)
+    blk = raster_pairs(attrs, chunk_tile_safe, chunk_flags,
+                       pairs.n_live_chunks, n_tiles, chunk)
 
     visited = pairs.tile_counts > 0
     out = jnp.where(visited[:, None, None], blk[:, :n_f, :], 0.0)

@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from texgs.kernels.binning import PairList, grid_shape
 from texgs.kernels.pallas_raster import (_chunk_core, _cumsum_incl_lanes,
-                                         _interpret, _pixel_basis,
+                                         _grid_dim, _interpret,
+                                         _live_slot_mask, _pixel_basis,
                                          _safe_tiles)
 from texgs.kernels.reference import ALPHA_CLAMP, TILE
 from texgs.kernels.tile_raster import PIX
@@ -232,23 +233,26 @@ def _m_pad(m: int) -> int:
     return -(-(4 * m) // 8) * 8
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def mlist_pairs(attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts,
-                n_tiles: int, chunk: int, m: int):
-    """-> (T, 4m padded, PIX) slot blocks: rows 4k..4k+3 = [w, u, v, s]."""
+                n_live, n_tiles: int, chunk: int, m: int):
+    """-> (T, 4m padded, PIX) slot blocks: rows 4k..4k+3 = [w, u, v, s].
+
+    n_live: () int32 dynamic grid bound (PairList.n_live_chunks) or None
+    for the full static chunk sweep (see pallas_raster._grid_dim)."""
     return _mlist_fwd_call(attrs, uv_rows, chunk_tile_safe, chunk_flags,
-                           cam_consts, n_tiles, chunk, m)
+                           cam_consts, n_live, n_tiles, chunk, m)
 
 
 def _mlist_fwd_call(attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts,
-                    n_tiles, chunk, m):
+                    n_live, n_tiles, chunk, m):
     a_dim, total = attrs.shape
     n_chunks = total // chunk
     mp = _m_pad(m)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        grid=(_grid_dim(n_chunks, n_live),),
         in_specs=[
             pl.BlockSpec((8, 128), lambda i, ct, fl: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -276,15 +280,16 @@ def _mlist_fwd_call(attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts,
 
 
 def _mlist_fwd(attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts,
-               n_tiles, chunk, m):
+               n_live, n_tiles, chunk, m):
     blk = _mlist_fwd_call(attrs, uv_rows, chunk_tile_safe, chunk_flags,
-                          cam_consts, n_tiles, chunk, m)
+                          cam_consts, n_live, n_tiles, chunk, m)
     return blk, (attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts,
-                 blk)
+                 n_live, blk)
 
 
 def _mlist_bwd(n_tiles, chunk, m, res, g_blk):
-    attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts, fwd_blk = res
+    (attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts, n_live,
+     fwd_blk) = res
     a_dim, total = attrs.shape
     n_chunks = total // chunk
     mp = _m_pad(m)
@@ -293,7 +298,7 @@ def _mlist_bwd(n_tiles, chunk, m, res, g_blk):
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        grid=(_grid_dim(n_chunks, n_live),),
         in_specs=[
             pl.BlockSpec((8, 128), lambda i, ct, fl: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -328,7 +333,11 @@ def _mlist_bwd(n_tiles, chunk, m, res, g_blk):
         interpret=_interpret(),
     )(chunk_tile_safe, chunk_flags, cam_consts, attrs, uv_rows, fwd_blk,
       g_blk)
-    return (d_attrs, d_uv, None, None, None)
+    mask = _live_slot_mask(total, chunk, n_live, d_attrs)
+    if mask is not None:
+        d_attrs = d_attrs * mask
+        d_uv = d_uv * mask
+    return (d_attrs, d_uv, None, None, None, None)
 
 
 mlist_pairs.defvjp(_mlist_fwd, _mlist_bwd)
@@ -361,8 +370,8 @@ def mlist_pallas(attrs, uv_rows_t, pairs: PairList, camera, chunk: int,
     cam_consts = cam_consts.at[0, 3:6].set(by)
     cam_consts = cam_consts.at[0, 6:9].set(c0)
 
-    blk = mlist_pairs(attrs, uv_rows_t, safe, flags, cam_consts, n_tiles,
-                      chunk, m)
+    blk = mlist_pairs(attrs, uv_rows_t, safe, flags, cam_consts,
+                      pairs.n_live_chunks, n_tiles, chunk, m)
     mp = _m_pad(m)
     visited = pairs.tile_counts > 0
     blk = jnp.where(visited[:, None, None], blk, 0.0)

@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from texgs.kernels.binning import PairList, grid_shape
 from texgs.kernels.pallas_raster import (_chunk_core, _cumsum_incl_lanes,
-                                         _interpret, _mxu_dot, _pad_f,
+                                         _grid_dim, _interpret,
+                                         _live_slot_mask, _mxu_dot, _pad_f,
                                          _pixel_basis, _safe_tiles)
 from texgs.kernels.pallas_uvtex import (U_ROWS, _intersect, _m_pad, _rays)
 from texgs.kernels.reference import ALPHA_CLAMP, TILE
@@ -258,16 +259,19 @@ def _fused_bwd_kernel(ct_ref, flags_ref, cam_ref, attrs_ref, uv_ref,
 
 # ------------------------------------------------------------- host side
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def fused_pairs(attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts,
-                n_tiles: int, chunk: int, m: int):
-    """-> (blend blocks (T, PAD_F, PIX), M-list blocks (T, 4m padded, PIX))."""
+                n_live, n_tiles: int, chunk: int, m: int):
+    """-> (blend blocks (T, PAD_F, PIX), M-list blocks (T, 4m padded, PIX)).
+
+    n_live: () int32 dynamic grid bound (PairList.n_live_chunks) or None
+    for the full static chunk sweep (see pallas_raster._grid_dim)."""
     return _fused_fwd_call(attrs, uv_rows, chunk_tile_safe, chunk_flags,
-                           cam_consts, n_tiles, chunk, m)
+                           cam_consts, n_live, n_tiles, chunk, m)
 
 
 def _fused_fwd_call(attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts,
-                    n_tiles, chunk, m):
+                    n_live, n_tiles, chunk, m):
     a_dim, total = attrs.shape
     n_chunks = total // chunk
     pad_f = _pad_f(a_dim - ROW_F0)
@@ -275,7 +279,7 @@ def _fused_fwd_call(attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        grid=(_grid_dim(n_chunks, n_live),),
         in_specs=[
             pl.BlockSpec((8, 128), lambda i, ct, fl: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -310,16 +314,16 @@ def _fused_fwd_call(attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts,
 
 
 def _fused_fwd(attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts,
-               n_tiles, chunk, m):
+               n_live, n_tiles, chunk, m):
     blend, ml = _fused_fwd_call(attrs, uv_rows, chunk_tile_safe, chunk_flags,
-                                cam_consts, n_tiles, chunk, m)
+                                cam_consts, n_live, n_tiles, chunk, m)
     return (blend, ml), (attrs, uv_rows, chunk_tile_safe, chunk_flags,
-                         cam_consts, blend, ml)
+                         cam_consts, n_live, blend, ml)
 
 
 def _fused_bwd(n_tiles, chunk, m, res, g):
-    (attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts, fwd_blend,
-     fwd_ml) = res
+    (attrs, uv_rows, chunk_tile_safe, chunk_flags, cam_consts, n_live,
+     fwd_blend, fwd_ml) = res
     g_blend, g_ml = g
     a_dim, total = attrs.shape
     n_chunks = total // chunk
@@ -332,7 +336,7 @@ def _fused_bwd(n_tiles, chunk, m, res, g):
                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        grid=(_grid_dim(n_chunks, n_live),),
         in_specs=[
             pl.BlockSpec((8, 128), lambda i, ct, fl: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -371,7 +375,11 @@ def _fused_bwd(n_tiles, chunk, m, res, g):
         interpret=_interpret(),
     )(chunk_tile_safe, chunk_flags, cam_consts, attrs, uv_rows, fwd_blend,
       g_blend, fwd_ml, g_ml)
-    return (d_attrs, d_uv, None, None, None)
+    mask = _live_slot_mask(total, chunk, n_live, d_attrs)
+    if mask is not None:
+        d_attrs = d_attrs * mask
+        d_uv = d_uv * mask
+    return (d_attrs, d_uv, None, None, None, None)
 
 
 fused_pairs.defvjp(_fused_fwd, _fused_bwd)
@@ -408,7 +416,7 @@ def fused_pallas(attrs, uv_rows_t, pairs: PairList, camera, chunk: int,
     cam_consts = cam_consts.at[0, 6:9].set(c0)
 
     blend, ml = fused_pairs(attrs, uv_rows_t, safe, flags, cam_consts,
-                            n_tiles, chunk, m)
+                            pairs.n_live_chunks, n_tiles, chunk, m)
 
     visited = pairs.tile_counts > 0
     out = jnp.where(visited[:, None, None], blend[:, :n_f, :], 0.0)

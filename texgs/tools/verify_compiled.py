@@ -203,15 +203,31 @@ def verify_textile(tex_res, n_tiles=256, m=32):
     rng = np.random.default_rng(3)
     wgt = rng.uniform(0.01, 0.4, size=(n_tiles, PIX, m)).astype(np.float32)
     wgt = wgt * (rng.uniform(size=wgt.shape) < 0.6)
-    centers = rng.normal(size=(n_tiles, 1, 1, 3))
-    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
-    # tight per-tile footprints (~5 sigma = 26 texels at 512^2) keep every
-    # tile at mip level 0: the full-res twin is only an EXACT reference
-    # there (wider footprints engage the textile mip path, which
-    # area-filters by design — tested separately in test_textile)
-    dirs = centers + 0.01 * rng.normal(size=(n_tiles, PIX, m, 3))
+    # strictly IN-FACE per-tile footprints: tight (~5 sigma = 26 texels at
+    # 512^2, keeps every tile at mip level 0) AND away from face edges
+    # (|u|,|v| <= 0.55 of the half-extent).  Both matter for exactness:
+    # wider footprints engage the textile mip path (area-filters by
+    # design) and cross-face stragglers engage the round-5 bordered
+    # catch-all pack (16^2 area-filtered by design) — the full-res XLA
+    # twin is only an EXACT reference when neither path serves a request.
+    # Both approximation paths carry their own divergence-bound tests in
+    # test_textile.py.
+    face = rng.integers(0, 6, size=(n_tiles, 1, 1))
+    fu = rng.uniform(-0.55, 0.55, size=(n_tiles, 1, 1))
+    fv = rng.uniform(-0.55, 0.55, size=(n_tiles, 1, 1))
+    u = fu + 0.02 * rng.normal(size=(n_tiles, PIX, m))
+    v = fv + 0.02 * rng.normal(size=(n_tiles, PIX, m))
+    u = np.clip(u, -0.9, 0.9)
+    v = np.clip(v, -0.9, 0.9)
+    one = np.ones_like(u)
+    by_face = np.stack([
+        np.stack([one, -v, -u], -1), np.stack([-one, -v, u], -1),
+        np.stack([u, one, v], -1), np.stack([u, -one, -v], -1),
+        np.stack([u, -v, one], -1), np.stack([-u, -v, -one], -1)],
+        axis=0)                                  # (6, T, PIX, m, 3)
+    dirs = by_face[face[:, 0, 0], np.arange(n_tiles)]   # (T, PIX, m, 3)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    dirs = np.where(wgt[..., None] > 0, dirs, 0.0)
+    dirs = np.where(wgt[..., None] > 0, dirs, 0.0).astype(np.float32)
     mlist = jnp.asarray(np.concatenate([wgt[..., None], dirs], axis=-1))
     tex = jnp.asarray(rng.uniform(size=(6, tex_res, tex_res, 3)),
                       jnp.float32)

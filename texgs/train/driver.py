@@ -8,6 +8,7 @@ TensorBoard scalars/images via tensorboardX when available.
 
 from __future__ import annotations
 
+import gc
 import os
 import random
 import time
@@ -19,6 +20,15 @@ from texgs.config import Cfg
 from texgs.io import checkpoint as ckpt
 from texgs.utils.metrics import psnr
 from texgs.losses import l1_loss, ssim_loss
+
+
+def _host_rss_gib() -> float:
+    try:
+        with open("/proc/self/statm") as f:
+            return (int(f.read().split()[1])
+                    * os.sysconf("SC_PAGE_SIZE") / 2 ** 30)
+    except Exception:  # noqa: BLE001 — diagnostics only
+        return 0.0
 
 
 def _tb_writer(work_dir, debug):
@@ -155,6 +165,18 @@ def train(cfg: Cfg, log, tb_writer=None, scene=None, model=None,
             log.info(f"profiler trace written to {profile_dir}")
 
         ema_loss = 0.4 * loss_f + 0.6 * ema_loss
+        # Host-memory watchdog: long runs on the remote-device platform
+        # leak host RSS roughly one params-copy per step (a round-5
+        # stage-1 run was OOM-killed at 130 GiB after 7350 iters).  A
+        # periodic collect frees any cyclic garbage pinning device-buffer
+        # handles, and the logged RSS makes the growth rate visible so
+        # runs can be segmented (wall-clock ckpts + --resume_from) before
+        # the OOM killer fires.
+        if iteration % 250 == 0:
+            gc.collect()
+            rss = _host_rss_gib()
+            if progress and iteration % 1000 == 0:
+                log.info(f"[mem] host rss {rss:.1f} GiB")
         if progress and iteration % 50 == 0:
             n_pts = getattr(model, "n_points", 0)
             log.info(f"iter {iteration}/{end_iteration} "
