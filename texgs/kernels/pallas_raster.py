@@ -287,7 +287,8 @@ def _grid_dim(n_chunks: int, n_live):
     at a controller-fit pair cap).  Interpret mode (CPU tests) keeps the
     static grid — dead chunks are no-ops there and Pallas interpret does
     not model dynamic grids."""
-    if n_live is None or _interpret():
+    import os
+    if n_live is None or _interpret() or os.environ.get("TEXGS_STATIC_GRID"):
         return n_chunks
     return jnp.minimum(jnp.asarray(n_live, jnp.int32), n_chunks)
 
